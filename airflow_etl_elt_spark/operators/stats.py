@@ -1,0 +1,72 @@
+"""Statistical operators: per-group Gaussian KDE (grouped pandas UDF).
+
+Reference parity: per-quality-class KDE over alcohol via pandas
+``Series.plot.kde()`` — scipy ``gaussian_kde`` with Scott's-rule bandwidth
+(reference ``dags/include/utils.py:273-276``; SURVEY.md §2 row 23).
+
+Spark-first: this is the canonical ``applyInPandas`` use case — semantics a
+built-in aggregate can't express (a density curve per group), computed
+group-at-a-time with Arrow-batched transfer and NumPy vectorization inside.
+One shuffle on the group key; each group's KDE is O(n_group × grid) local
+work. At 100 TB with huge groups, subsample per group first (the estimate
+converges long before millions of points) — ``max_group_rows`` caps it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+KDE_SCHEMA = "group_key string, x double, density double"
+
+
+def _gaussian_kde_grid(values: np.ndarray, grid: np.ndarray) -> np.ndarray:
+    """Gaussian KDE with Scott's-rule bandwidth, evaluated on ``grid``.
+
+    Implemented directly (public formula: Scott 1992) rather than importing
+    scipy — h = n^(-1/5) * sigma; density(x) = mean(phi((x - xi)/h))/h.
+    """
+    n = len(values)
+    sigma = values.std(ddof=1)
+    if n < 2 or sigma == 0 or not np.isfinite(sigma):
+        return np.zeros(len(grid))
+    h = sigma * n ** (-1.0 / 5.0)
+    z = (grid[:, None] - values[None, :]) / h
+    dens = np.exp(-0.5 * z * z).sum(axis=1) / (n * h * np.sqrt(2 * np.pi))
+    return dens
+
+
+def kde_per_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    grid_points: int = 64,
+    max_group_rows: int = 1_000_000,
+) -> DataFrame:
+    """Evaluate a per-group Gaussian KDE on a fixed per-group grid.
+
+    Returns (group_key, x, density) — grid_points rows per group. The grid
+    spans [min, max] of each group's values (matching what a per-class
+    ``plot.kde`` renders); deterministic given the data.
+    """
+
+    def kde_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        if len(vals) > max_group_rows:
+            # deterministic thinning, not random: every k-th value
+            vals = np.sort(vals)[:: max(1, len(vals) // max_group_rows)]
+        lo, hi = float(vals.min()), float(vals.max())
+        if lo == hi:
+            hi = lo + 1.0
+        grid = np.linspace(lo, hi, grid_points)
+        dens = _gaussian_kde_grid(vals, grid)
+        key = str(pdf[group_col].iloc[0])
+        return pd.DataFrame({"group_key": key, "x": grid, "density": dens})
+
+    return (
+        df.select(group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(kde_fn, schema=KDE_SCHEMA)
+        .orderBy("group_key", "x")
+    )

@@ -1,0 +1,108 @@
+"""Event-time operators: tumbling-window aggregation, sessionization, JSON props.
+
+The reference's only streaming-shaped feature is dataset-triggering
+(SURVEY.md §2.9); the events fixture (ts, user_id, event_type, value, props)
+drives the real time-series surface. Functions here are batch-first but
+written so the identical transformation runs under Structured Streaming
+(see streaming/windowed.py, which reuses ``hourly_agg`` verbatim and adds a
+watermark) — one definition, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window × event_type: count + sum(value).
+
+    Uses ``window(ts, '1 hour')`` (not date_trunc) so the same plan is legal
+    under streaming with a watermark. Output exposes window.start as
+    ``hour_start`` — equal to date_trunc('hour', ts) for tumbling windows,
+    which is what the SQL oracle computes.
+    Shuffle key is (window, event_type): high cardinality → well spread.
+    """
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def daily_user_activity(events: DataFrame) -> DataFrame:
+    """Per-user daily rollup — the partition-pruning-friendly shape: at rest,
+    events should be written partitioned by event_date so date-ranged reads
+    scan only matching directories (sinks.write_partitioned)."""
+    return (
+        events.withColumn("event_date", F.to_date("ts"))
+        .groupBy("event_date", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .orderBy("event_date", "user_id")
+    )
+
+
+def extract_props_key(events: DataFrame, key: str = "k") -> DataFrame:
+    """JSON field extraction from the string ``props`` column.
+
+    ``get_json_object`` is JVM-side (Jackson), no Python involved. For hot
+    paths over many keys, prefer ``from_json`` with an explicit schema once,
+    then struct field access — parses each row a single time.
+    """
+    return events.select(
+        "event_id",
+        F.get_json_object("props", f"$.{key}").cast("int").alias("props_k"),
+    ).orderBy("event_id")
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the gap to
+    the previous event of the same user exceeds ``gap_minutes``.
+
+    Classic two-window composition (lag → boundary flag → running sum) —
+    entirely JVM-side, one shuffle on user_id reused by both windows (same
+    partitioning, Catalyst plans a single exchange). The streaming twin is
+    ``session_window`` (streaming/windowed.py).
+    Returns one row per session: user_id, session_id (1-based per user),
+    session_start, session_end, n_events.
+    """
+    from pyspark.sql import Window
+
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # microsecond-exact gap (SURVEY.md §7 hazard family: second-truncated
+    # casts diverge from the oracle on fractional-second boundaries)
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_flag = events.withColumn(
+        "new_session",
+        (
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w_order)
+            > gap_us
+        )
+        .cast("int")
+        .alias("new_session"),
+    ).withColumn("new_session", F.coalesce(F.col("new_session"), F.lit(1)))
+    with_id = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(w_run).cast("bigint")
+    )
+    return (
+        with_id.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -1,0 +1,69 @@
+"""Window functions: ranking, running aggregates, lag/lead deltas.
+
+Not present in the reference (SURVEY.md §2.5 note) — required by the driver
+fixtures (events) and any real pipeline. All windows here are PARTITIONED
+(``partitionBy``): an un-partitioned window is a single-task funnel and is
+banned in this codebase outside of dimension-sized inputs (see
+relational.surrogate_key's docstring).
+
+Determinism: every ``orderBy`` includes a unique tiebreaker column so running
+aggregates and ranks are reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """row_number ≤ k per group, ordered by ``order_col`` desc.
+
+    One shuffle on the group key; each group sorted independently. For heavy
+    skew (one giant group), pre-aggregate or use a per-partition partial top-k
+    (e.g. groupBy + max_by/collect-sort for tiny k).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col)
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .orderBy(group_col, "rn")
+    )
+
+
+def running_sum(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_value",
+) -> DataFrame:
+    """Cumulative sum per partition in a fixed total order (rows unbounded
+    preceding → current). The frame is row-based, so double accumulation order
+    is identical across engines — bit-reproducible against the oracle."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def lag_delta(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "delta",
+) -> DataFrame:
+    """value - lag(value) per partition; NULL for each partition's first row."""
+    w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    return df.withColumn(out_col, F.col(value_col) - F.lag(value_col).over(w))

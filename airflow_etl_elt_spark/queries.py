@@ -1,0 +1,680 @@
+"""Query catalog: every implemented operator as a (spark, sf_dir) -> DataFrame
+builder, with its DuckDB oracle SQL where SQL-expressible.
+
+This is the single source of truth behind ``__spark_entry__.py`` (the driver
+contract) and the self-check test harness (tests/test_oracle.py replicates
+the driver's row-count + schema + order-insensitive value comparison locally).
+
+Keys follow SURVEY.md §2's "Query key" column for the reference surface
+(expressed over the driver's TPC-H-ish fixtures per FIXTURES.md §3 so sf0.01
+has meaningful volume), plus the north-star keys (joins, windows, time
+series, dedup, similarity, text, multimodal).
+
+Aliasing rule (driver contract): every computed column is aliased
+IDENTICALLY in the Spark builder and the oracle SQL — the driver sorts
+columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_etl_elt_spark.operators import (
+    aggregates,
+    dedup,
+    joins,
+    multimodal,
+    relational,
+    similarity,
+    stats,
+    text,
+    timeseries,
+    windows,
+)
+from airflow_etl_elt_spark.sources.readers import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --------------------------------------------------------------------------
+# Reference-surface queries (SURVEY.md §2.1-2.5)
+# --------------------------------------------------------------------------
+
+
+def q_table_scan_project(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 row 2/11 — narrow scan+projection (etl_elt_wine.py:423-424)."""
+    return relational.project(read_table(spark, sf, "orders"), "o_orderkey", "o_totalprice")
+
+
+def q_scan_filter_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 row 3 — pushdown scan (etl_elt_wine.py:268-272 restated)."""
+    orders = read_table(spark, sf, "orders")
+    return relational.filter_lt(orders, "o_totalprice", 50000.0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_elt_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 row 16 — literal '<' filter, the T of ELT (etl_elt_wine.py:270)."""
+    li = read_table(spark, sf, "lineitem")
+    return relational.filter_lt(li, "l_quantity", 25.0).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+def q_filter_ge_param(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 row 15 — parameterized '>=' filter (etl_elt_wine.py:189)."""
+    li = read_table(spark, sf, "lineitem")
+    return relational.filter_ge(li, "l_quantity", 30.0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def q_derived_bool_col(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 row 14 — derived boolean (etl_elt_wine.py:185-188)."""
+    orders = read_table(spark, sf, "orders")
+    return relational.derive_flag(orders, "high_value", "o_totalprice", 150000.0).select(
+        "o_orderkey", "o_totalprice", "high_value"
+    )
+
+
+def q_surrogate_key(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 row 10 — deterministic 1-based key (utils.py:33)."""
+    orders = read_table(spark, sf, "orders").select("o_orderkey")
+    return relational.surrogate_key(orders, ["o_orderkey"])
+
+
+def q_feature_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 row 12 — wide numeric feature projection (utils.py:52-67)."""
+    li = read_table(spark, sf, "lineitem")
+    return relational.project(li, "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_grouped_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 row 18 — multi-stat grouped agg (etl_elt_wine.py:426-428)."""
+    return aggregates.grouped_stats(read_table(spark, sf, "lineitem"), "l_returnflag", "l_extendedprice")
+
+
+def q_count_by_group(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 row 19 — count by group (README.md:95-105)."""
+    return aggregates.count_by_group(read_table(spark, sf, "orders"), "o_orderpriority")
+
+
+def q_distinct_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 row 21 — ordered distinct (utils.py:263)."""
+    return relational.distinct_sorted(read_table(spark, sf, "lineitem"), "l_linenumber")
+
+
+def q_row_count(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 rows 7/20 — scalar count as metric (etl_elt_wine.py:220)."""
+    return relational.row_count(read_table(spark, sf, "lineitem"))
+
+
+def q_insert_ignore_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 row 5 — the anti-join core of INSERT OR IGNORE BY NAME
+    (etl_elt_wine.py:214-217), in query form: keys absent from the target."""
+    return joins.customers_without_orders(
+        read_table(spark, sf, "customer"), read_table(spark, sf, "orders")
+    )
+
+
+def q_sample_frac(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 row 24 — seeded Bernoulli sample (utils.py:34). Rows-only:
+    Spark/numpy seeds draw different row sets (SURVEY §7 hazard 1)."""
+    return relational.sample_fraction(read_table(spark, sf, "lineitem"), 0.1, seed=1)
+
+
+def q_kde_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 row 23 — per-group Gaussian KDE (utils.py:273-276). Rows-only."""
+    return stats.kde_per_group(read_table(spark, sf, "events"), "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §7 phase E; FIXTURES.md §3)
+# --------------------------------------------------------------------------
+
+
+def q_join_nation_region(spark: SparkSession, sf: str) -> DataFrame:
+    return joins.nations_with_regions(read_table(spark, sf, "nation"), read_table(spark, sf, "region"))
+
+
+def q_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    return joins.revenue_by_segment(read_table(spark, sf, "orders"), read_table(spark, sf, "customer"))
+
+
+def q_revenue_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    return joins.revenue_by_priority(read_table(spark, sf, "lineitem"), read_table(spark, sf, "orders"))
+
+
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    return joins.customers_with_orders(read_table(spark, sf, "customer"), read_table(spark, sf, "orders"))
+
+
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.pricing_summary(read_table(spark, sf, "lineitem"))
+
+
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    return joins.top_revenue_orders(
+        read_table(spark, sf, "customer"),
+        read_table(spark, sf, "orders"),
+        read_table(spark, sf, "lineitem"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+def q_window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.top_k_per_group(
+        read_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        k=3,
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    return windows.running_sum(ev, "user_id", ["ts", "event_id"], "value").select(
+        "user_id", "event_id", "running_value"
+    )
+
+
+def q_window_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    return windows.lag_delta(ev, "user_id", ["ts", "event_id"], "value").select(
+        "user_id", "event_id", "delta"
+    )
+
+
+# --------------------------------------------------------------------------
+# Time series / events
+# --------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    return timeseries.hourly_agg(read_table(spark, sf, "events"))
+
+
+def q_events_daily_user(spark: SparkSession, sf: str) -> DataFrame:
+    return timeseries.daily_user_activity(read_table(spark, sf, "events"))
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    return timeseries.extract_props_key(read_table(spark, sf, "events"))
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    return timeseries.sessionize(read_table(spark, sf, "events"))
+
+
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.bucketed_histogram(
+        read_table(spark, sf, "orders"), "o_totalprice", [100000.0, 200000.0, 300000.0, 400000.0]
+    )
+
+
+def q_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    return read_table(spark, sf, "events").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ sketch count — rows-only (sketch estimates are engine-specific)."""
+    return read_table(spark, sf, "events").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    )
+
+
+def q_union_nation_keys(spark: SparkSession, sf: str) -> DataFrame:
+    cust = read_table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = read_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).distinct().orderBy("nationkey")
+
+
+def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    c = read_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 5).alias("name_prefix"),
+    ).orderBy("c_custkey")
+
+
+def q_orders_by_year(spark: SparkSession, sf: str) -> DataFrame:
+    o = read_table(spark, sf, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (north star)
+# --------------------------------------------------------------------------
+
+
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    return text.token_count(read_table(spark, sf, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return text.quality_score(read_table(spark, sf, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return text.lang_id(read_table(spark, sf, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return text.fingerprint(read_table(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication (north star)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup(read_table(spark, sf, "documents"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded MinHash LSH near-dup pairs. Rows-only (hash family is
+    Spark-side xxhash64 — no DuckDB twin)."""
+    return dedup.minhash_lsh_pairs(read_table(spark, sf, "documents"), threshold=0.4)
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash Hamming-banded near-dup pairs. Rows-only."""
+    return dedup.simhash_near_pairs(read_table(spark, sf, "documents"), max_hamming=3)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard verification over MinHash candidates. Rows-only."""
+    docs = read_table(spark, sf, "documents")
+    cands = dedup.minhash_lsh_pairs(docs, threshold=0.2)
+    return dedup.ngram_jaccard_verify(docs, cands, n=3, min_jaccard=0.3)
+
+
+# --------------------------------------------------------------------------
+# Similarity search (north star)
+# --------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf: str) -> list[float]:
+    """Deterministic query point: the embedding of vec_id = 0 (driver-side
+    single-row lookup — the only collect in this module, one 64-float row)."""
+    row = (
+        read_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.cosine_topk(emb, _query_vec(spark, sf), k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN (random hyperplanes, multi-probe). Rows-only —
+    approximate by construction."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.ann_topk(emb, _query_vec(spark, sf), dim=64, k=10)
+
+
+def q_label_pairs_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.pairwise_topk_within_label(read_table(spark, sf, "embeddings"), k=3)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (north star; decode stubbed — see operators/multimodal)
+# --------------------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.documents_as_media(read_table(spark, sf, "documents"))
+    return multimodal.extract_media_features(media).orderBy("media_id")
+
+
+QUERIES: dict[str, QueryFn] = {
+    # reference surface
+    "table_scan_project": q_table_scan_project,
+    "scan_filter_pushdown": q_scan_filter_pushdown,
+    "elt_filter": q_elt_filter,
+    "filter_ge_param": q_filter_ge_param,
+    "derived_bool_col": q_derived_bool_col,
+    "surrogate_key": q_surrogate_key,
+    "feature_projection": q_feature_projection,
+    "grouped_stats": q_grouped_stats,
+    "count_by_group": q_count_by_group,
+    "distinct_sorted": q_distinct_sorted,
+    "row_count": q_row_count,
+    "insert_ignore_by_name": q_insert_ignore_by_name,
+    "sample_frac": q_sample_frac,
+    "kde_per_group": q_kde_per_group,
+    # joins
+    "join_nation_region": q_join_nation_region,
+    "revenue_by_segment": q_revenue_by_segment,
+    "revenue_by_priority": q_revenue_by_priority,
+    "semi_join": q_semi_join,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    # windows
+    "window_topk": q_window_topk,
+    "window_running_sum": q_window_running_sum,
+    "window_lag_delta": q_window_lag_delta,
+    # time series / misc relational
+    "events_hourly": q_events_hourly,
+    "events_daily_user": q_events_daily_user,
+    "json_extract": q_json_extract,
+    "sessionize": q_sessionize,
+    "histogram": q_histogram,
+    "distinct_users": q_distinct_users,
+    "approx_distinct_users": q_approx_distinct_users,
+    "union_nation_keys": q_union_nation_keys,
+    "string_funcs": q_string_funcs,
+    "orders_by_year": q_orders_by_year,
+    # text
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    # dedup
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    # similarity
+    "knn_cosine": q_knn_cosine,
+    "ann_lsh": q_ann_lsh,
+    "label_pairs_topk": q_label_pairs_topk,
+    # multimodal
+    "media_features": q_media_features,
+}
+
+_EN_STOP_PATTERN = r"\b(the|and|of|to|in|is)\b"
+
+
+def _lang_id_oracle() -> str:
+    from airflow_etl_elt_spark.operators.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    hits = ",\n        ".join(
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(w)})\\b', 0)) AS hits_{lang}"
+        for lang, w in LANG_MARKERS.items()
+    )
+    # argmax with ties preferring earlier language (same rule as the Spark
+    # greatest-of-structs trick in operators/text.py)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"hits_{lang} >= hits_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = " ".join(cases)
+    greatest = ", ".join(f"hits_{lang}" for lang in langs)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        {hits}
+      FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE {case_sql} END AS predicted_lang,
+           CAST(greatest({greatest}) AS BIGINT) AS marker_hits
+    FROM scored ORDER BY doc_id
+    """
+
+
+ORACLE_SQL: dict[str, str] = {
+    "table_scan_project": "SELECT o_orderkey, o_totalprice FROM orders",
+    "scan_filter_pushdown": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice < 50000"
+    ),
+    "elt_filter": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+        "FROM lineitem WHERE l_quantity < 25"
+    ),
+    "filter_ge_param": (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 30"
+    ),
+    "derived_bool_col": (
+        "SELECT o_orderkey, o_totalprice, o_totalprice >= 150000 AS high_value FROM orders"
+    ),
+    "surrogate_key": (
+        "SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS id "
+        "FROM orders"
+    ),
+    "feature_projection": (
+        "SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem"
+    ),
+    "grouped_stats": """
+        SELECT l_returnflag,
+               avg(l_extendedprice)         AS mean_val,
+               median(l_extendedprice)      AS median_val,
+               stddev_samp(l_extendedprice) AS std_val,
+               min(l_extendedprice)         AS min_val,
+               max(l_extendedprice)         AS max_val,
+               count(*)                     AS cnt
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag DESC
+    """,
+    "count_by_group": (
+        "SELECT o_orderpriority, count(*) AS cnt FROM orders "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "distinct_sorted": (
+        "SELECT DISTINCT l_linenumber FROM lineitem ORDER BY l_linenumber DESC"
+    ),
+    "row_count": "SELECT count(*) AS row_count FROM lineitem",
+    "insert_ignore_by_name": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    # joins
+    "join_nation_region": """
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY n_nationkey
+    """,
+    "revenue_by_segment": """
+        SELECT c_mktsegment, sum(o_totalprice) AS total_price, count(*) AS order_cnt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "revenue_by_priority": """
+        SELECT o_orderpriority,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               count(*) AS line_cnt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "semi_join": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity)                                       AS sum_qty,
+               sum(l_extendedprice)                                  AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               avg(l_quantity)                                       AS avg_qty,
+               avg(l_extendedprice)                                  AS avg_price,
+               avg(l_discount)                                       AS avg_disc,
+               count(*)                                              AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3": """
+        SELECT o_orderkey, o_orderdate,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    # windows
+    "window_topk": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice, rn FROM (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 CAST(row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          FROM orders)
+        WHERE rn <= 3 ORDER BY o_orderpriority, rn
+    """,
+    "window_running_sum": """
+        SELECT user_id, event_id,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS running_value
+        FROM events
+    """,
+    "window_lag_delta": """
+        SELECT user_id, event_id,
+               value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        FROM events
+    """,
+    # time series
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS cnt, sum(value) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "events_daily_user": """
+        SELECT CAST(ts AS DATE) AS event_date, user_id,
+               count(*) AS n_events, sum(value) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS props_k
+        FROM events ORDER BY event_id
+    """,
+    "sessionize": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                      ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+    "histogram": """
+        SELECT CASE WHEN o_totalprice < 100000 THEN 'b00_underflow'
+                    WHEN o_totalprice < 200000 THEN 'b01'
+                    WHEN o_totalprice < 300000 THEN 'b02'
+                    WHEN o_totalprice < 400000 THEN 'b03'
+                    ELSE 'b04_overflow' END AS bucket,
+               count(*) AS cnt
+        FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+    "distinct_users": "SELECT count(DISTINCT user_id) AS n_users_exact FROM events",
+    "union_nation_keys": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION SELECT s_nationkey FROM supplier ORDER BY nationkey
+    """,
+    "string_funcs": """
+        SELECT c_custkey, upper(c_name) AS name_upper,
+               CAST(length(c_name) AS BIGINT) AS name_len,
+               substring(c_name, 1, 5) AS name_prefix
+        FROM customer ORDER BY c_custkey
+    """,
+    "orders_by_year": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               count(*) AS cnt, sum(o_totalprice) AS total_price
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    # text
+    "token_count": r"""
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+                 AS n_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "text_quality": r"""
+        WITH base AS (
+          SELECT doc_id, trim(text) AS t FROM documents),
+        m AS (
+          SELECT doc_id,
+                 length(t) AS n_chars_measured,
+                 CASE WHEN length(t) = 0 THEN 0
+                      ELSE len(string_split_regex(t, '\s+')) END AS n_tokens,
+                 length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g')) AS n_punct,
+                 length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')) AS n_upper,
+                 len(regexp_extract_all(t, '\b(the|and|of|to|in|is)\b', 0)) AS n_stop
+          FROM base)
+        SELECT doc_id,
+               CAST(n_chars_measured AS BIGINT) AS n_chars_measured,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_chars_measured AS DOUBLE) / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END) AS avg_token_len,
+               CAST(n_punct AS DOUBLE) / (CASE WHEN n_chars_measured = 0 THEN 1 ELSE n_chars_measured END) AS punct_ratio,
+               CAST(n_upper AS DOUBLE) / (CASE WHEN n_chars_measured = 0 THEN 1 ELSE n_chars_measured END) AS upper_ratio,
+               CAST(n_stop AS DOUBLE) / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END) AS stopword_ratio
+        FROM m ORDER BY doc_id
+    """,
+    "lang_id": _lang_id_oracle(),
+    "doc_fingerprint": r"""
+        SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents ORDER BY doc_id
+    """,
+    # dedup
+    "dedup_exact": """
+        SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY canonical_id
+    """,
+    # similarity
+    "knn_cosine": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS DOUBLE)
+                 AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    "label_pairs_topk": """
+        WITH pairs AS (
+          SELECT a.label AS lbl, a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) AS DOUBLE) AS cosine
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id),
+        ranked AS (
+          SELECT lbl, id_a, id_b, cosine,
+                 row_number() OVER (PARTITION BY lbl ORDER BY cosine DESC, id_a, id_b) AS rn
+          FROM pairs)
+        SELECT lbl, id_a, id_b, cosine FROM ranked WHERE rn <= 3
+        ORDER BY lbl, cosine DESC, id_a, id_b
+    """,
+}
+
+# Keys intentionally WITHOUT oracle SQL (driver records rows-only check):
+# sample_frac (seed semantics differ), kde_per_group (no SQL KDE),
+# approx_distinct_users (sketch), dedup_minhash / dedup_simhash /
+# ngram_jaccard / ann_lsh (xxhash64-based candidate generation has no DuckDB
+# twin), media_features (pandas-UDF decode stub).
+ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLE_SQL))

@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference delegates execution to pandas/DuckDB/Postgres per Airflow task
+(SURVEY.md §3); here a single SparkSession owns the whole plan so Catalyst can
+optimize end-to-end. Defaults are chosen for the 100 TB design point and work
+unchanged on local[N]:
+
+- AQE on (runtime coalesce, skew-join splitting, join-strategy switch) —
+  at cluster scale this is what keeps static shuffle-partition guesses from
+  becoming stragglers.
+- Arrow on — every pandas_udf / applyInPandas / toPandas crossing is
+  Arrow-batched, never per-row pickling.
+- shuffle partitions sized from the parallelism actually available
+  (cluster: set spark.sql.shuffle.partitions ~2-3x total cores; AQE
+  coalesces down after the fact, so erring high is safe).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet vectorized reader is on by default; keep pushdown explicit so a
+    # config drift shows up in review rather than in a 100x slower scan.
+    "spark.sql.parquet.filterPushdown": "true",
+    # Broadcast threshold: dims like region/nation are KB-sized even at 100 TB
+    # fact scale; 64 MB covers typical dimension tables without risking OOM.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+}
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_session(
+    app_name: str = "airflow-etl-elt-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for single-node runs;
+    on a real cluster pass ``master=None`` with a pre-configured environment
+    (spark-submit sets the master) — the conf defaults still apply.
+    """
+    cpus = _default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or max(cpus, 8))
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

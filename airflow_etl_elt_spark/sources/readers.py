@@ -1,0 +1,81 @@
+"""Sources: parquet table scans and normalized CSV ingest.
+
+Reference parity:
+- CSV scan with ``;`` separator, header, inferred types
+  (reference ``dags/include/utils.py:31`` — ``pd.read_csv(path, sep=";")``).
+- Column-name normalization, spaces → underscores
+  (reference ``dags/include/utils.py:32``).
+- Table scan with projection (reference ``dags/etl_elt_wine.py:423-424``).
+
+Spark-first notes: scans stay lazy; narrow ``select``/``filter`` applied by
+callers reach the parquet reader as column pruning + pushed filters (verify
+with ``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``). At
+100 TB the parquet layout (partition columns, file sizes ~128-512 MB) is what
+makes these pushdowns matter; ``write_partitioned`` in sinks.py is the
+write-side counterpart.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    """Spaces → underscores in every column name (utils.py:32 parity)."""
+    return df.toDF(*[c.replace(" ", "_") for c in df.columns])
+
+
+def read_csv_normalized(
+    spark: SparkSession,
+    path: str,
+    sep: str = ";",
+    header: bool = True,
+    infer_schema: bool = True,
+) -> DataFrame:
+    """`;`-delimited CSV with header and inferred types, names normalized.
+
+    Matches reference ``utils.py:31-32``. At scale: inferSchema costs one
+    extra pass over the file — for repeated loads of a stable feed, pass an
+    explicit schema instead (the canonical wine schema lives in
+    plans/wine.py).
+    """
+    df = (
+        spark.read.options(sep=sep, header=str(header).lower(), inferSchema=str(infer_schema).lower())
+        .csv(path)
+    )
+    return normalize_columns(df)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one of the driver's parquet tables (TESTDATA.md layout).
+
+    The events table carries TIMESTAMP(NANOS) parquet columns, which Spark's
+    vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We opt into the
+    documented ``nanosAsLong`` reading (runtime-settable SQL conf) and rebuild
+    the timestamp at microsecond precision with integer division — the same
+    truncation DuckDB applies when it narrows ns → µs, so the oracle agrees.
+    Double division would be wrong here: epoch-nanos ≈ 1.7e18 exceeds the
+    53-bit double mantissa.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Timestamp semantics (year/date_trunc/window) are session-TZ-dependent in
+    # Spark while the DuckDB oracle computes on naive wall-clock values; pin
+    # UTC so results agree even under a caller-provided session that didn't
+    # go through our get_session defaults.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict[str, DataFrame]:
+    from airflow_etl_elt_spark import TABLES
+
+    return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}

@@ -1,0 +1,111 @@
+"""Sinks: partitioned parquet writes, replace-table, idempotent keyed append.
+
+Reference parity:
+- ``INSERT OR IGNORE INTO wine_data BY NAME SELECT *`` — skip rows whose PK
+  already exists, match columns by name (reference ``dags/etl_elt_wine.py:214-217``).
+  Spark has no PK, so the same contract is an anti-join against existing keys
+  followed by a name-matched append (SURVEY.md §2 row 5).
+- ``df.to_sql(..., if_exists="replace")`` full replace
+  (reference ``dags/etl_elt_wine.py:242-243``) → ``mode("overwrite")``.
+- Dataset outlets (``dags/etl_elt_wine.py:195,223``) → commit-marker files,
+  consumed by plans.pipeline's dataset-trigger gate.
+
+Scale notes: the anti-join in ``insert_ignore_by_name`` shuffles both sides on
+the key. At 100 TB the "existing" side should be key-bucketed at rest so the
+join co-locates without a full shuffle; here we read only the key column of
+the existing table (column pruning) so the existing-side scan ships one
+column, and broadcast kicks in automatically (AQE) when the batch is small.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "append",
+) -> None:
+    """Parquet write, optionally hive-partitioned (e.g. events by event_date).
+
+    Partition columns are the write-side half of partition pruning: a reader
+    filtering on the partition column scans only matching directories.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def replace_table(df: DataFrame, path: str) -> None:
+    """Drop-and-recreate semantics (`if_exists="replace"`, etl_elt_wine.py:243)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def insert_ignore_by_name(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key: str = "id",
+) -> int:
+    """Idempotent keyed append: the Spark restatement of DuckDB's
+    ``INSERT OR IGNORE ... BY NAME`` (etl_elt_wine.py:216).
+
+    Three coupled behaviors, kept in one function on purpose (SURVEY.md §7
+    hazard 4):
+      1. rows whose ``key`` already exists in the target are skipped,
+      2. columns are matched by NAME, not position (``unionByName`` contract:
+         we project the batch to the target's column order by name),
+      3. duplicate keys *within the batch* keep one arbitrary-but-deterministic
+         row (min over a total order is not needed for parity; reference PK
+         semantics only require at-most-once per key).
+
+    Returns the number of rows actually appended.
+    """
+    if not os.path.exists(path):
+        deduped = batch.dropDuplicates([key])
+        deduped.write.mode("overwrite").parquet(path)
+        return deduped.count()
+
+    existing = spark.read.parquet(path)
+    # Name-matched projection (BY NAME): reorder batch cols to target order.
+    missing = set(existing.columns) - set(batch.columns)
+    if missing:
+        raise ValueError(f"batch missing target columns: {sorted(missing)}")
+    aligned = batch.select(*existing.columns)
+    # Only the key column of the existing table is scanned (column pruning).
+    new_rows = aligned.dropDuplicates([key]).join(
+        existing.select(key), on=key, how="left_anti"
+    )
+    # Parquet append is not atomic w.r.t. concurrent readers; the reference's
+    # Airflow concurrency=1 guard (etl_elt_wine.py:72,94) is mirrored by the
+    # pipeline runner's single-run lock.
+    new_rows.persist()
+    try:
+        n = new_rows.count()
+        if n:
+            new_rows.write.mode("append").parquet(path)
+    finally:
+        new_rows.unpersist()
+    return n
+
+
+def write_commit_marker(marker_dir: str, dataset: str, payload: dict | None = None) -> str:
+    """Dataset-outlet equivalent (etl_elt_wine.py:195,223): a tiny JSON marker
+    file whose presence means 'this sink committed'. Downstream pipelines gate
+    on the AND of their input markers (etl_elt_wine_downstream.py:42)."""
+    os.makedirs(marker_dir, exist_ok=True)
+    path = os.path.join(marker_dir, f"{dataset}.json")
+    with open(path, "w") as f:
+        json.dump({"dataset": dataset, "ts": time.time(), **(payload or {})}, f)
+    return path
+
+
+def markers_ready(marker_dir: str, datasets: tuple[str, ...]) -> bool:
+    return all(os.path.exists(os.path.join(marker_dir, f"{d}.json")) for d in datasets)

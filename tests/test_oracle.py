@@ -1,0 +1,84 @@
+"""Differential tests: every oracle-backed query key is compared against
+DuckDB at sf0.001 with the same discipline the driver uses at sf0.01 —
+row count, column names, and order-insensitive values (floats rounded to
+9 significant digits to absorb engine-level last-bit drift).
+
+This is the local twin of the driver's CORRECTNESS gate, so divergence shows
+up here before a round ends.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from airflow_etl_elt_spark.queries import ORACLE_SQL, QUERIES, ROWS_ONLY_KEYS
+from tests.conftest import SF_SMOKE
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return 0.0
+        # 9 significant digits
+        return float(f"{v:.9g}")
+    if isinstance(v, (dt.datetime, dt.date)):
+        return str(v)
+    if isinstance(v, int):
+        return float(v) if abs(v) < 2**52 else v
+    return v
+
+
+def _rows_canonical(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+ORACLE_KEYS = sorted(ORACLE_SQL)
+
+
+@pytest.mark.parametrize("key", ORACLE_KEYS)
+def test_query_matches_oracle(spark, duck, key):
+    sdf = QUERIES[key](spark, SF_SMOKE)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+
+    res = duck.sql(ORACLE_SQL[key])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{key}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{key}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s = _rows_canonical(spark_cols, [tuple(r) for r in spark_rows])
+    d = _rows_canonical(duck_cols, duck_rows)
+    mism = [i for i, (a, b) in enumerate(zip(s, d)) if a != b]
+    assert not mism, f"{key}: first mismatched rows {[(s[i], d[i]) for i in mism[:3]]}"
+
+
+@pytest.mark.parametrize("key", sorted(ROWS_ONLY_KEYS))
+def test_rows_only_queries_run(spark, key):
+    df = QUERIES[key](spark, SF_SMOKE)
+    n = df.count()
+    assert n >= 0
+    assert df.columns
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.queries()) >= set(e.oracle_sql())
