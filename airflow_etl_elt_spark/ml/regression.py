@@ -1,0 +1,100 @@
+"""ML operators: the reference's scikit-learn training tail as pyspark.ml.
+
+Reference parity (SURVEY.md §2.7):
+- extract + 70/30 seeded split         — utils.py:39-79 → randomSplit(seed=42)
+- StandardScaler                       — utils.py:94,102,114
+- PolynomialFeatures (deg 2-3)         — utils.py:95,103,115 → PolynomialExpansion
+- LinearRegression                     — utils.py:96
+- HistGradientBoostingRegressor        — utils.py:104 → GBTRegressor (closest;
+  Spark's GBT is not histogram-based — documented approximation)
+- BayesianRidge                        — utils.py:116 → ridge LinearRegression
+  (L2 via regParam, elasticNetParam=0 — documented approximation)
+- ParameterGrid                        — utils.py:129-130 → ParamGridBuilder
+- random ≥1 model choice, seeded       — utils.py:135-144 → rng.sample
+- R² train/test                        — utils.py:224-233 → RegressionEvaluator
+
+Target mirrors the reference: predict ``alcohol`` from the other features
+(utils.py:69 drops alcohol as X, uses it as y).
+
+Scale: pyspark.ml estimators train distributed; the grid loop is
+driver-orchestrated like the reference's mapped tasks. randomSplit is
+probabilistic (sizes ~70/30, not exact) — SURVEY §7 hazard 1 applies.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any
+
+from pyspark.ml import Pipeline as MlPipeline
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.feature import PolynomialExpansion, StandardScaler, VectorAssembler
+from pyspark.ml.regression import GBTRegressor, LinearRegression
+from pyspark.sql import DataFrame
+
+
+def feature_target_split(df: DataFrame, target: str = "alcohol") -> tuple[DataFrame, DataFrame, list[str]]:
+    """utils.py:39-79: numeric features minus id/quality/high_quality/target;
+    70/30 split, seed 42."""
+    exclude = {"id", "quality", "high_quality", target}
+    feats = [c for c, t in df.dtypes if c not in exclude and t in ("double", "float", "int", "bigint")]
+    train, test = df.randomSplit([0.7, 0.3], seed=42)
+    return train, test, feats
+
+
+def model_specs(feats: list[str], target: str) -> list[dict[str, Any]]:
+    """The reference's three model families + their small grids
+    (utils.py:94-130), as assembled pyspark.ml pipelines."""
+    assembler = VectorAssembler(inputCols=feats, outputCol="raw_features")
+    scaler = StandardScaler(
+        inputCol="raw_features", outputCol="scaled", withMean=True, withStd=True
+    )
+    specs: list[dict[str, Any]] = []
+    for degree in (2, 3):  # PolynomialFeatures grid (utils.py:99)
+        poly = PolynomialExpansion(degree=degree, inputCol="scaled", outputCol="features")
+        lr = LinearRegression(featuresCol="features", labelCol=target)
+        specs.append(
+            {
+                "name": f"linear_poly{degree}",
+                "pipeline": MlPipeline(stages=[assembler, scaler, poly, lr]),
+            }
+        )
+    for rate in (0.05, 0.1):  # HistGBR learning-rate grid (utils.py:107-111)
+        gbt = GBTRegressor(
+            featuresCol="raw_features", labelCol=target, stepSize=rate, maxIter=20, seed=42
+        )
+        specs.append({"name": f"gbt_lr{rate}", "pipeline": MlPipeline(stages=[assembler, gbt])})
+    # BayesianRidge → ridge LR approximation (documented above)
+    ridge = LinearRegression(
+        featuresCol="scaled", labelCol=target, regParam=0.1, elasticNetParam=0.0
+    )
+    specs.append({"name": "ridge", "pipeline": MlPipeline(stages=[assembler, scaler, ridge])})
+    return specs
+
+
+def choose_models(specs: list[dict[str, Any]], rng: random.Random) -> list[dict[str, Any]]:
+    """utils.py:135-144: random non-empty subset, without replacement."""
+    k = rng.randint(1, len(specs))
+    return rng.sample(specs, k)
+
+
+def train_wine_models(
+    df: DataFrame,
+    target: str = "alcohol",
+    rng: random.Random | None = None,
+) -> list[dict[str, float]]:
+    """Train the chosen models; return per-model train/test R²
+    (utils.py:224-233 semantics, rounded to 6 like np.round(r2, 6))."""
+    train, test, feats = feature_target_split(df, target)
+    evaluator = RegressionEvaluator(labelCol=target, predictionCol="prediction", metricName="r2")
+    out = []
+    for spec in choose_models(model_specs(feats, target), rng or random.Random(42)):
+        model = spec["pipeline"].fit(train)
+        out.append(
+            {
+                "name": spec["name"],
+                "r2_train": round(evaluator.evaluate(model.transform(train)), 6),
+                "r2_test": round(evaluator.evaluate(model.transform(test)), 6),
+            }
+        )
+    return out

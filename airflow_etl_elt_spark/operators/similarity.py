@@ -77,31 +77,41 @@ def pairwise_topk_within_label(
     """Top-k most-similar pairs within each label group (blocked all-pairs).
 
     The label acts as a blocking key: the quadratic pair expansion happens
-    only inside groups (classic blocked-similarity-join shape). At scale the
+    only inside groups (classic blocked-similarity-join shape); at scale the
     block key would be an LSH bucket (see ``lsh_bucket``) instead of a label.
+    Per group the work is one normalized Gram matrix (BLAS matmul) inside
+    applyInPandas — the SQL self-join form evaluates an interpreted 64-dim
+    dot product per pair and measured ~50x slower at 5k vectors.
     """
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
 
-    a = embeddings.select(
-        F.col(label_col).alias("lbl"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
-    )
-    b = embeddings.select(
-        F.col(label_col).alias("lbl"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
-    )
-    denom = _norm(F.col("v_a")) * _norm(F.col("v_b"))
-    pairs = (
-        a.join(b, "lbl")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.when(denom == 0, F.lit(0.0)).otherwise(_dot(F.col("v_a"), F.col("v_b")) / denom),
+    out_schema = "lbl int, id_a bigint, id_b bigint, cosine double"
+
+    def topk_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        N = V / norms[:, None]
+        S = N @ N.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = S[iu, ju]
+        order = np.lexsort((ids[ju], ids[iu], -cos))[:k]
+        return pd.DataFrame(
+            {
+                "lbl": pdf[label_col].iloc[0],
+                "id_a": ids[iu[order]],
+                "id_b": ids[ju[order]],
+                "cosine": cos[order],
+            }
         )
-    )
-    w = Window.partitionBy("lbl").orderBy(F.col("cosine").desc(), "id_a", "id_b")
+
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("lbl", "id_a", "id_b", "cosine")
+        embeddings.select(label_col, id_col, vec_col)
+        .groupBy(label_col)
+        .applyInPandas(topk_fn, out_schema)
         .orderBy("lbl", F.col("cosine").desc(), "id_a", "id_b")
     )
 

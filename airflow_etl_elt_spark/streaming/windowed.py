@@ -1,0 +1,91 @@
+"""Structured Streaming flavors of the batch event-time operators.
+
+The reference's only streaming-shaped feature is dataset-driven triggering
+(SURVEY.md §2.9); the north star asks for real stream processing. Design:
+the BATCH transformation functions (operators/timeseries.py) are reused
+verbatim on a streaming DataFrame — one definition, two execution modes —
+plus the streaming-only concerns layered here:
+
+- watermarks for late-data bounds and state eviction,
+- ``trigger(availableNow=True)`` for the dataset-trigger/catch-up pattern
+  (process everything that has arrived, then stop — the streaming twin of
+  the reference's dataset-AND trigger),
+- ``session_window`` as the streaming twin of batch gaps-and-islands
+  sessionization.
+
+Scale notes: stateful aggs keep per-(window × key) state in the state store;
+the watermark bounds that state. Shuffle partitions = state-store partitions
+for a streaming query — size it up front (it is fixed at first checkpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_etl_elt_spark.operators.timeseries import hourly_agg
+
+
+def read_events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+) -> DataFrame:
+    """File-source stream over a directory of parquet drops (new files are
+    discovered per micro-batch — the streaming equivalent of 'dataset
+    updated' outlets)."""
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def hourly_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """The SAME hourly_agg plan, made streaming-legal by a watermark.
+
+    Late events beyond ``watermark`` are dropped and window state older than
+    it is evicted (append mode). The plan keeps hourly_agg's global sort,
+    which is streaming-legal only in complete output mode — run_available_now
+    picks complete for aggregating plans; for production append-mode sinks,
+    drop the sort (downstream readers order on read).
+    """
+    return hourly_agg(events.withWatermark("ts", watermark))
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via the built-in ``session_window`` (dynamic
+    gap windows merged by the state store) — the streaming twin of
+    operators/timeseries.sessionize's gaps-and-islands form."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str, query_name: str) -> list:
+    """Execute a streaming plan over everything currently available, collect
+    the result from a memory sink, and stop — the catch-up/trigger pattern
+    used by tests and by dataset-triggered downstream pipelines."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if _has_agg(stream_df) else "append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+    q.stop()
+    return rows
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().logical().toString()
