@@ -5,12 +5,12 @@ North-star operators for training-data pipelines. Design per method:
 - **Exact**: groupBy the content (or its md5 fingerprint — 16 bytes beats
   shuffling full documents at 100 TB), keep min(doc_id) as canonical.
 - **MinHash + LSH**: shingle → 64 minhash values via universal hashing over
-  xxhash64 → band into b bands of r rows → exact-match join on band signature
-  → candidate pairs → estimate Jaccard as fraction of agreeing minhashes.
-  Everything except the signature step is built-in (groupBy/join); signatures
-  are codegen'd expressions (xxhash64 + arithmetic), NO Python in the path.
-  The band join is the scale trick: candidates ~ O(near-dup pairs), never the
-  O(n²) cross product.
+  deterministic token hashes → band into b bands of r rows → exact-match join
+  on band signature → candidate pairs → estimate Jaccard as fraction of
+  agreeing minhashes. Signatures come from one Arrow-batched NumPy pandas_udf
+  (see ``minhash_signatures`` for why JVM higher-order-function forms lose);
+  everything after is built-in (groupBy/join). The band join is the scale
+  trick: candidates ~ O(near-dup pairs), never the O(n²) cross product.
 - **SimHash**: 64-bit weighted-majority hash of token hashes; near-dup =
   small Hamming distance. Banded on 4×16-bit chunks for candidate generation
   (two sketches within Hamming ≤ 3 must share at least one of 4 chunks).
@@ -28,10 +28,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from airflow_etl_elt_spark.sources.readers import fan_out
+
 # Mersenne prime 2^31-1: universal-hash modulus (h_i(x) = (a_i*x + b_i) mod p).
 # Chosen < 2^31 so (h mod p) * a stays under 2^62 — Spark 4 runs ANSI mode by
 # default and raises on int64 overflow rather than wrapping.
 _P = (1 << 31) - 1
+
+# Odd 64-bit golden-ratio constant for the rolling polynomial shingle hash.
+_SHINGLE_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _batch_token_hashes(texts: "pd.Series") -> list:
+    """Per-document uint64 token-hash arrays for one Arrow batch.
+
+    Each UNIQUE token is MD5-hashed once per batch (Zipf's law: vocabulary is
+    tiny next to token count, so this cuts hash calls ~10-50x vs per-shingle
+    hashing). MD5-first-8-bytes keeps hashes deterministic across sessions,
+    executors, and Python hash seeds. Returns None for null/empty documents.
+    """
+    import hashlib
+
+    token_lists = [t.lower().split() if t is not None else None for t in texts]
+    vocab: dict[str, int] = {}
+    for toks in token_lists:
+        if toks:
+            for tok in toks:
+                if tok not in vocab:
+                    vocab[tok] = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+    out = []
+    for toks in token_lists:
+        if not toks:
+            out.append(None)
+        else:
+            out.append(np.fromiter((vocab[t] for t in toks), dtype=np.uint64, count=len(toks)))
+    return out
+
+
+def _shingle_hashes_from_tokens(th: np.ndarray, k: int) -> np.ndarray:
+    """uint64 hashes of the k-token shingles, as a vectorized rolling
+    polynomial over the token hashes (wrapping mod 2^64). Documents shorter
+    than k yield one shingle (zero-padded)."""
+    if len(th) < k:
+        th = np.concatenate([th, np.zeros(k - len(th), dtype=np.uint64)])
+    n_sh = len(th) - k + 1
+    acc = np.zeros(n_sh, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _SHINGLE_MULT + th[j : j + n_sh]
+    return acc
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -43,7 +87,6 @@ def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc
             F.count(F.lit(1)).alias("n_copies"),
         )
         .select("canonical_id", "n_copies")
-        .orderBy("canonical_id")
     )
 
 
@@ -81,13 +124,15 @@ def minhash_signatures(
 
     One NumPy pandas_udf does shingling + hashing + the 64-permutation min
     ((a_i*h + b_i) mod p, deterministic a_i/b_i from ``seed``) per Arrow
-    batch. Shingle hashes are the first 8 bytes of MD5 — deterministic across
-    sessions/engines and C-speed via hashlib. Two all-JVM alternatives were
-    measured and rejected: 64 × array_min(transform(...)) and
+    batch. Token hashes are MD5-first-8-bytes computed once per unique token
+    per batch (``_batch_token_hashes``); shingle hashes are a vectorized
+    rolling polynomial over them. Two all-JVM alternatives were measured and
+    rejected: 64 × array_min(transform(...)) and
     transform(xxhash64(concat_ws(slice(...)))) both run interpreted
     (higher-order-function bodies are not codegen'd) at ~10-20 ms/doc; this
-    UDF is ~0.1 ms/doc. Scale shape: one narrow pass, no shuffle; signatures
-    (64 longs/doc) are what flows onward.
+    UDF is ~0.05 ms/doc. Scale shape: ``fan_out`` guarantees the pass uses
+    every core even from a few-big-files layout; no shuffle of text beyond
+    that; signatures (64 longs/doc) are what flows onward.
     """
     import random
 
@@ -98,40 +143,20 @@ def minhash_signatures(
 
     @pandas_udf("array<long>")
     def sig_udf(texts: pd.Series) -> pd.Series:
-        import hashlib
-
         out = []
-        for t in texts:
-            h = _shingle_hashes(t, shingle_k, hashlib)
-            if h is None:
+        for th in _batch_token_hashes(texts):
+            if th is None:
                 out.append(None)
                 continue
-            h = h % p  # h < 2^31: products fit u64
+            h = _shingle_hashes_from_tokens(th, shingle_k) % p  # < 2^31: products fit u64
             m = ((h[None, :] * a_np + b_np) % p).min(axis=1)
             out.append(m.astype(np.int64))
         return pd.Series(out)
 
     return (
-        documents.select(F.col(id_col).alias("id"), sig_udf(text_col).alias("sig"))
+        fan_out(documents.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", sig_udf(text_col).alias("sig"))
         .filter(F.col("sig").isNotNull())
-    )
-
-
-def _shingle_hashes(t, k: int, hashlib) -> "np.ndarray | None":
-    """uint64 hashes of the k-word shingles of one document (None if empty)."""
-    if t is None:
-        return None
-    tokens = t.lower().split()
-    if not tokens:
-        return None
-    n_sh = max(len(tokens) - k + 1, 1)
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(" ".join(tokens[i : i + k]).encode()).digest()[:8], "little")
-            for i in range(n_sh)
-        ),
-        dtype=np.uint64,
-        count=n_sh,
     )
 
 
@@ -155,22 +180,31 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, text_col, id_col, num_hashes, shingle_k, seed)
-    # Materialize signatures: without this, Catalyst inlines the (expensive)
-    # signature expression into all `bands` band columns AND both sides of the
+    # Materialize signatures EAGERLY (persist + count): lazy persist is not
+    # enough — the two self-join sides below start as CONCURRENT stages, and
+    # both would compute the uncached signature UDF in full before either
+    # populates the cache (measured 2x the UDF cost). The count is one tiny
+    # job over already-shuffled data.
+    # Without any persist it is worse still: Catalyst inlines the signature
+    # expression into all `bands` band columns AND both sides of the
     # self-join below — re-shingling every document ~2x`bands` times. With it,
     # shingling happens exactly once per document. This is also the 100 TB
     # shape: signatures are tiny (64 longs/doc) and typically land in a
     # persisted/bucketed intermediate table.
     sigs = sigs.persist()
+    sigs.count()
 
+    # Band the signature into `bands` compact 64-bit keys (xxhash64 of the
+    # band's minhash slice) and explode to (band_id, band_sig) rows carrying
+    # ONLY the doc id — at scale the band join shuffles ids, never the
+    # 64-long signatures (16x less traffic than joining sigs through).
     banded = sigs.select(
         "id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws(
-                        ",", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    F.xxhash64(
+                        F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
                     )
                     for b in range(bands)
                 ]
@@ -178,14 +212,18 @@ def minhash_lsh_pairs(
         ).alias("band_id", "band_sig"),
     )
     # Bucket = (band_id, band_sig). Pair expansion inside each bucket.
-    left = banded.select("band_id", "band_sig", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    right = banded.select("band_id", "band_sig", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    left = banded.select("band_id", "band_sig", F.col("id").alias("id_a"))
+    right = banded.select("band_id", "band_sig", F.col("id").alias("id_b"))
     pairs = (
         left.join(right, ["band_id", "band_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Fetch signatures only for the surviving candidate pairs (tiny next to
+    # the corpus) and verify with the agreeing-minhash fraction.
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -193,13 +231,14 @@ def minhash_lsh_pairs(
         )
     )
     return (
-        pairs.select(
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
             "id_a",
             "id_b",
             (agree / F.lit(num_hashes)).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -209,23 +248,20 @@ def simhash(
     id_col: str = "doc_id",
     bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash per document (Charikar 2002) as pure column expressions.
+    """64-bit SimHash per document (Charikar 2002).
 
-    Each token hashes to 64 bits (xxhash64); the sketch's bit j is the
-    majority vote of token bits j. Votes via aggregate over the token array:
-    sum(±1 per bit) then sign. Returns (id, simhash: bigint).
+    Each token hashes to 64 bits (batch-vocab MD5); the sketch's bit j is the
+    majority vote of token bits j, vectorized in one NumPy pandas_udf.
+    Returns (id, simhash: bigint).
     """
     @pandas_udf("long")
     def simhash_udf(texts: pd.Series) -> pd.Series:
         # Bit j of the sketch = majority vote of token-hash bits j, fully
-        # vectorized: unpack token hashes (MD5 first 8 bytes, deterministic)
+        # vectorized: unpack token hashes (batch-vocab MD5, deterministic)
         # to a (n_tokens × 64) bit matrix, column-sum, threshold at n/2.
-        import hashlib
-
         shifts = np.arange(bits, dtype=np.uint64)
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            h = _shingle_hashes(t, 1, hashlib)  # k=1: per-token hashes
+        for i, h in enumerate(_batch_token_hashes(texts)):
             if h is None:
                 continue
             bitsum = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
@@ -237,8 +273,8 @@ def simhash(
             out[i] = sketch - (1 << 64) if sketch >= (1 << 63) else sketch
         return pd.Series(out)
 
-    return documents.select(
-        F.col(id_col).alias("id"), simhash_udf(text_col).alias("simhash")
+    return fan_out(documents.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", simhash_udf(text_col).alias("simhash")
     )
 
 
@@ -255,7 +291,10 @@ def simhash_near_pairs(
     an equi-join on (chunk_id, chunk_value) finds all of them without a cross
     join. Exact Hamming verified with bit_count(xor).
     """
-    sk = simhash(documents, text_col, id_col)
+    # Eager persist for the same concurrent-self-join reason as in
+    # minhash_lsh_pairs: without it both join sides compute the sketch UDF.
+    sk = simhash(documents, text_col, id_col).persist()
+    sk.count()
     chunks = sk.select(
         "id",
         "simhash",
@@ -277,7 +316,6 @@ def simhash_near_pairs(
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -319,5 +357,4 @@ def ngram_jaccard_verify(
         .withColumn("jaccard", jaccard_udf("text_a", "text_b"))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )

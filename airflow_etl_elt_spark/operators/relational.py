@@ -42,21 +42,57 @@ def filter_lt(df: DataFrame, col: str, threshold) -> DataFrame:
     return df.filter(F.col(col) < F.lit(threshold))
 
 
-def surrogate_key(df: DataFrame, order_by: list[str], out_col: str = "id") -> DataFrame:
-    """Deterministic 1-based surrogate key in a STABLE explicit order.
+def surrogate_key(
+    df: DataFrame, order_by: list[str], out_col: str = "id", num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic 1-based surrogate key in a STABLE explicit order,
+    equal to ``row_number() OVER (ORDER BY order_by)`` — without the global
+    single-task window.
 
     The reference uses the pandas positional index (+1) which silently depends
     on CSV file order (utils.py:33; SURVEY.md §7 hazard 1). Spark requires the
     ordering to be explicit; ``monotonically_increasing_id`` is rejected
-    because it is partition-dependent and non-contiguous.
+    because it is partition-dependent and non-contiguous; a bare
+    ``Window.orderBy`` is rejected because it funnels every row through ONE
+    task — the classic 100 TB deadend.
 
-    Scale hazard: an un-partitioned ``row_number`` funnels all rows through ONE
-    task. Fine for dimension-sized inputs; for fact-scale key assignment use
-    ``zipWithIndex``-style two-phase numbering (per-partition counts then
-    offset) — provided here as ``surrogate_key_distributed``.
+    Two-phase plan instead: (1) range-repartition on the key (ordered,
+    disjoint ranges), persist, count rows per partition (tiny driver-side
+    list); (2) ``row_number`` windowed WITHIN each partition + the partition's
+    cumulative offset. Every stage is N-way parallel; the only driver data is
+    one long per partition. Ids are exact global ranks (ties within equal keys
+    ordered arbitrarily, same as SQL row_number).
     """
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.withColumn(out_col, F.row_number().over(w).cast("bigint"))
+    cols = [F.col(c) for c in order_by]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *cols).persist()
+    part_counts = (
+        ranged.select(F.spark_partition_id().alias("__pid"))
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(part_counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__cnt"]
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    offset_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            out_col,
+            (F.row_number().over(w) + F.coalesce(offset_map[F.col("__pid")], F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+        .drop("__pid")
+    )
 
 
 def surrogate_key_distributed(df: DataFrame, out_col: str = "id") -> DataFrame:

@@ -116,6 +116,176 @@ def pairwise_topk_within_label(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine >= threshold) via block-partitioned all-pairs.
+
+    The all-pairs gram matrix is inherently O(n²) — the scalable form tiles
+    it: vectors hash into B blocks, the B(B+1)/2 block pairs become
+    independent tasks, and each task computes one (|block| × |block|) BLAS
+    matmul in a mapInPandas stage. Work per task is bounded by block size
+    (pick B so a block fits executor memory); nothing ever single-tasks.
+    For corpora where approximate recall is acceptable, prefer the LSH
+    (``ann_topk``) or IVF (``ivf_topk``) candidate generators and verify
+    only candidates — this operator is the exactness baseline / oracle twin.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    nb = n_blocks or max(4, int(math.isqrt(spark.sparkContext.defaultParallelism * 2)))
+    blocks = (
+        embeddings.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).alias("blk"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "vec")).alias("items"))
+    )
+    block_pairs = (
+        blocks.select(F.col("blk").alias("blk_x"), F.col("items").alias("items_x"))
+        .join(
+            blocks.select(F.col("blk").alias("blk_y"), F.col("items").alias("items_y")),
+            F.col("blk_x") <= F.col("blk_y"),
+        )
+    )
+
+    def gram_batches(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                xs, ys = row["items_x"], row["items_y"]
+                ids_x = np.array([it["id"] for it in xs], dtype=np.int64)
+                ids_y = np.array([it["id"] for it in ys], dtype=np.int64)
+                Vx = np.array([it["vec"] for it in xs], dtype=np.float64)
+                Vy = np.array([it["vec"] for it in ys], dtype=np.float64)
+                nx = np.linalg.norm(Vx, axis=1)
+                ny = np.linalg.norm(Vy, axis=1)
+                nx[nx == 0] = 1.0
+                ny[ny == 0] = 1.0
+                S = (Vx / nx[:, None]) @ (Vy / ny[:, None]).T
+                ii, jj = np.where(S >= threshold)
+                ia, ib = ids_x[ii], ids_y[jj]
+                keep = ia != ib
+                ia, ib, cs = ia[keep], ib[keep], S[ii, jj][keep]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(cs)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    pairs = block_pairs.mapInPandas(gram_batches, "id_a bigint, id_b bigint, cosine double")
+    # same-block pairs appear once; cross-block pairs once (blk_x < blk_y);
+    # dropDuplicates guards the blk_x == blk_y diagonal double-count
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> "list[list[float]]":
+    """Train IVF coarse-quantizer centroids: seeded k-means (Lloyd) over a
+    bounded driver-side sample. The sample is capped (``limit``), so driver
+    memory is O(sample_size · dim) regardless of corpus size — the classic
+    build-small / apply-big split of IVF indexing."""
+    import numpy as np
+
+    sample = [
+        [float(x) for x in r[0]]
+        for r in embeddings.select(vec_col).limit(sample_size).collect()
+    ]
+    X = np.array(sample, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in C]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: "list[list[float]]",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``ivf_cell`` = nearest-centroid index (argmin L2), computed
+    JVM-side from broadcast centroid literals. At rest, write the corpus
+    partitioned/bucketed by ivf_cell so probes become partition-pruned scans.
+
+    Argmin is array_min + array_position over an array of per-centroid
+    distances — each distance expression appears exactly ONCE. (A chained
+    ``when(d < best, ...)`` fold is exponential: every step clones the whole
+    previous tree, and Catalyst analysis never returns past ~12 centroids.)
+    """
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    return embeddings.withColumn("__d", dists).withColumn(
+        "ivf_cell", (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1).cast("int")
+    ).drop("__d")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine over only the ``n_probe`` cells
+    nearest the query (probing ~n_probe/n_centroids of the corpus).
+    Recall grows with n_probe; n_probe = n_centroids degrades to exact."""
+    import numpy as np
+
+    C = np.array(ivf_centroids(embeddings, n_centroids, seed=seed, vec_col=vec_col))
+    q = np.array(query_vec, dtype=np.float64)
+    probe = np.argsort(((C - q[None, :]) ** 2).sum(axis=1))[:n_probe].tolist()
+    cells = ivf_assign(embeddings, [[float(v) for v in row] for row in C], vec_col)
+    return cosine_topk(
+        cells.filter(F.col("ivf_cell").isin([int(p) for p in probe])),
+        query_vec,
+        k,
+        id_col,
+        vec_col,
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]

@@ -50,7 +50,6 @@ def daily_user_activity(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("total_value"),
         )
-        .orderBy("event_date", "user_id")
     )
 
 
@@ -64,7 +63,7 @@ def extract_props_key(events: DataFrame, key: str = "k") -> DataFrame:
     return events.select(
         "event_id",
         F.get_json_object("props", f"$.{key}").cast("int").alias("props_k"),
-    ).orderBy("event_id")
+    )
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -104,5 +103,4 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id", "session_id")
     )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from airflow_etl_elt_spark.operators import (
     aggregates,
+    asof,
     dedup,
     joins,
     multimodal,
@@ -34,7 +35,7 @@ from airflow_etl_elt_spark.operators import (
     timeseries,
     windows,
 )
-from airflow_etl_elt_spark.sources.readers import read_table
+from airflow_etl_elt_spark.sources.readers import fan_out, read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -246,7 +247,7 @@ def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.upper("c_name").alias("name_upper"),
         F.length("c_name").cast("bigint").alias("name_len"),
         F.substring("c_name", 1, 5).alias("name_prefix"),
-    ).orderBy("c_custkey")
+    )
 
 
 def q_orders_by_year(spark: SparkSession, sf: str) -> DataFrame:
@@ -271,15 +272,19 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    return text.quality_score(read_table(spark, sf, "documents"))
+    return text.quality_score(fan_out(read_table(spark, sf, "documents")))
 
 
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    return text.lang_id(read_table(spark, sf, "documents"))
+    return text.lang_id(fan_out(read_table(spark, sf, "documents")))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return text.fingerprint(read_table(spark, sf, "documents"))
+
+
+def q_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    return text.token_count_bpe(fan_out(read_table(spark, sf, "documents")))
 
 
 # --------------------------------------------------------------------------
@@ -343,13 +348,190 @@ def q_label_pairs_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# As-of / range joins (time-series; DuckDB ASOF JOIN is the oracle)
+# --------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """For every click event, the value of the user's latest purchase at or
+    before the click (union-sort-backfill as-of join — one shuffle)."""
+    ev = read_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return asof.asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_values=["value"], strict=False,
+    ).select("event_id", "asof_value")
+
+
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Clicks landing within 2 hours after a purchase by the same user —
+    epoch-grid bucketed interval join (equi-join plan, no nested loop)."""
+    ev = read_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        )
+    )
+    return asof.range_join_buckets(
+        clicks, purchases, point_ts="ts", start_ts="start_ts", end_ts="end_ts",
+        on="user_id", bucket_seconds=3600,
+    ).select("click_id", "purchase_id")
+
+
+# --------------------------------------------------------------------------
+# Rollup / pivot / set ops / quantiles / conditional aggregation
+# --------------------------------------------------------------------------
+
+
+def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    o = read_table(spark, sf, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").cast("int").alias("o_year"), F.col("o_orderpriority"))
+        .agg(F.sum("o_totalprice").alias("total_price"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_pivot_priority_by_year(spark: SparkSession, sf: str) -> DataFrame:
+    o = read_table(spark, sf, "orders")
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .pivot("o_orderpriority", priorities)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, priorities)
+    )
+
+
+def q_except_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Custkeys ordering in 1995 but not in 1996 (EXCEPT distinct)."""
+    o = read_table(spark, sf, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    return y95.subtract(y96)  # EXCEPT (set) semantics, not exceptAll (multiset)
+
+
+def q_intersect_customers(spark: SparkSession, sf: str) -> DataFrame:
+    o = read_table(spark, sf, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    return y95.intersect(y96)
+
+
+def q_quantiles_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact quartiles of o_totalprice (exact percentile, not approx —
+    SURVEY §7 hazard 3; the approx twin is q_approx_quantiles, rows-only)."""
+    o = read_table(spark, sf, "orders")
+    return o.agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.75).alias("p75"),
+    )
+
+
+def q_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Greenwald-Khanna approximate quartiles — the 100 TB path (mergeable
+    sketch, no per-group value buffering). Rows-only: sketch estimates are
+    engine-specific."""
+    o = read_table(spark, sf, "orders")
+    return o.agg(
+        F.approx_percentile("o_totalprice", F.lit(0.25), F.lit(10000)).alias("p25"),
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("o_totalprice", F.lit(0.75), F.lit(10000)).alias("p75"),
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    o = read_table(spark, sf, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(F.when(urgent, F.col("o_totalprice")).otherwise(0.0)).alias("urgent_price"),
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("urgent_cnt"),
+            F.count(F.lit(1)).alias("total_cnt"),
+        )
+    )
+
+
+def q_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    o = read_table(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.quarter("o_orderdate").cast("int").alias("o_quarter"),
+            F.month("o_orderdate").cast("int").alias("o_month"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("total_price"))
+    )
+
+
+def q_max_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Priciest order per priority — max-of-struct argmax (single partial
+    agg, no window shuffle; deterministic tie-break by orderkey)."""
+    o = read_table(spark, sf, "orders")
+    top = F.max(F.struct("o_totalprice", "o_orderkey"))
+    return o.groupBy("o_orderpriority").agg(
+        top["o_orderkey"].alias("top_orderkey"),
+        top["o_totalprice"].alias("top_price"),
+    )
+
+
+def q_corr_by_flag(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qp"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("cov_qp"),
+    )
+
+
+def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus heavy hitters: token explode → count → top 20 (count desc,
+    token asc). Explode + two-phase agg; the sort is on the tiny agg."""
+    docs = fan_out(read_table(spark, sf, "documents"))
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup + IVF ANN (north star)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (block-tiled all-pairs)."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: probe 4 of 16 k-means cells. Rows-only (approximate +
+    iterative centroid training has no SQL twin)."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.ivf_topk(emb, _query_vec(spark, sf), k=10, n_centroids=16, n_probe=4)
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (north star; decode stubbed — see operators/multimodal)
 # --------------------------------------------------------------------------
 
 
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    media = multimodal.documents_as_media(read_table(spark, sf, "documents"))
-    return multimodal.extract_media_features(media).orderBy("media_id")
+    media = multimodal.documents_as_media(fan_out(read_table(spark, sf, "documents")))
+    return multimodal.extract_media_features(media)
 
 
 QUERIES: dict[str, QueryFn] = {
@@ -392,6 +574,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_by_year": q_orders_by_year,
     # text
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -404,6 +587,24 @@ QUERIES: dict[str, QueryFn] = {
     "knn_cosine": q_knn_cosine,
     "ann_lsh": q_ann_lsh,
     "label_pairs_topk": q_label_pairs_topk,
+    # as-of / range joins
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    # rollup / pivot / set ops / quantiles / conditional
+    "rollup_revenue": q_rollup_revenue,
+    "pivot_priority_by_year": q_pivot_priority_by_year,
+    "except_customers": q_except_customers,
+    "intersect_customers": q_intersect_customers,
+    "quantiles_price": q_quantiles_price,
+    "approx_quantiles": q_approx_quantiles,
+    "conditional_agg": q_conditional_agg,
+    "date_parts": q_date_parts,
+    "max_by_priority": q_max_by_priority,
+    "corr_by_flag": q_corr_by_flag,
+    "top_tokens": q_top_tokens,
+    # embedding near-dup + IVF
+    "dedup_embedding": q_dedup_embedding,
+    "ann_ivf": q_ann_ivf,
     # multimodal
     "media_features": q_media_features,
 }
@@ -638,6 +839,103 @@ ORACLE_SQL: dict[str, str] = {
         FROM m ORDER BY doc_id
     """,
     "lang_id": _lang_id_oracle(),
+    # as-of / range joins
+    "asof_join": """
+        SELECT a.event_id, b.value AS asof_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') a
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+    "range_join": """
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 2 HOUR
+    """,
+    # rollup / pivot / set ops / quantiles / conditional
+    "rollup_revenue": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+               sum(o_totalprice) AS total_price, count(*) AS cnt
+        FROM orders
+        GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+    """,
+    "pivot_priority_by_year": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS "1-URGENT",
+               sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS "2-HIGH",
+               sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS "3-MEDIUM",
+               sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS "4-NOT SPECIFIED",
+               sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS "5-LOW"
+        FROM orders GROUP BY 1
+    """,
+    "except_customers": """
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "intersect_customers": """
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "quantiles_price": """
+        SELECT quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.5)  AS p50,
+               quantile_cont(o_totalprice, 0.75) AS p75
+        FROM orders
+    """,
+    "conditional_agg": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END) AS urgent_price,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_cnt,
+               count(*) AS total_cnt
+        FROM orders GROUP BY 1
+    """,
+    "date_parts": """
+        SELECT CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
+               count(*) AS cnt, sum(o_totalprice) AS total_price
+        FROM orders GROUP BY 1, 2
+    """,
+    "max_by_priority": """
+        SELECT o_orderpriority, o_orderkey AS top_orderkey, o_totalprice AS top_price
+        FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+          FROM orders)
+        WHERE rn = 1
+    """,
+    "corr_by_flag": """
+        SELECT l_returnflag,
+               corr(l_quantity, l_extendedprice) AS corr_qp,
+               covar_samp(l_quantity, l_extendedprice) AS cov_qp
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "token_count_bpe": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 $$'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+$$, 0)) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM documents
+    """,
+    "top_tokens": r"""
+        SELECT token, count(*) AS cnt FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents)
+        WHERE token <> ''
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    # embedding near-dup
+    "dedup_embedding": """
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) AS DOUBLE) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        WHERE cosine >= 0.4
+    """,
     "doc_fingerprint": r"""
         SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         FROM documents ORDER BY doc_id

@@ -28,6 +28,23 @@ def normalize_columns(df: DataFrame) -> DataFrame:
     return df.toDF(*[c.replace(" ", "_") for c in df.columns])
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow input so compute-heavy downstream work
+    (regex passes, pandas UDFs, per-row vector math) uses every core.
+
+    Parquet splits at row-group granularity: a single-row-group file scans as
+    ONE partition no matter how many cores exist, serializing everything after
+    it. At 100 TB inputs arrive as thousands of files and this is a no-op
+    (returns ``df`` unchanged when partitions >= target); on small/skewed
+    layouts it costs one tiny shuffle to unlock N-way parallelism — the same
+    guard a production pipeline wants against a few-giant-files layout.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_csv_normalized(
     spark: SparkSession,
     path: str,

