@@ -118,6 +118,38 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(documents: DataFrame, k: int = 1) -> DataFrame:
+    """Top-k TF-IDF terms per document (score desc, term asc) — pure
+    DataFrame composition (explode → two aggs → join → window), no ML
+    pipeline needed, so the whole thing is SQL-expressible for the oracle.
+
+    idf = ln(N / df): plain inverse document frequency over the corpus.
+    Scale shape: token explode is narrow; tf agg shuffles on (doc, token);
+    document frequencies are a second small agg joined back broadcast-style
+    (token vocabulary << corpus); top-k per doc is a bounded window.
+    """
+    from pyspark.sql import Window
+
+    tokens = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(F.countDistinct("doc_id").alias("n")).first()["n"]
+    scored = tf.join(doc_freq, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercased text.
 

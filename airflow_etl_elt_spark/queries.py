@@ -44,6 +44,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # --------------------------------------------------------------------------
 
 
+WINE_CSV = "/root/reference/data/winequality-white.csv"
+
+
+def q_csv_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2 rows 1/9 — `;`-CSV scan with header + inferred types +
+    space→underscore column normalization (utils.py:31-32). Runs on the
+    reference's own wine CSV (input data, not fixture-dir-dependent)."""
+    from airflow_etl_elt_spark.sources.readers import read_csv_normalized
+
+    df = read_csv_normalized(spark, WINE_CSV)
+    return df.select(
+        F.col("quality").cast("int").alias("quality"),
+        F.col("alcohol").cast("double").alias("alcohol"),
+        F.col("fixed_acidity").cast("double").alias("fixed_acidity"),
+    )
+
+
 def q_table_scan_project(spark: SparkSession, sf: str) -> DataFrame:
     """SURVEY §2 row 2/11 — narrow scan+projection (etl_elt_wine.py:423-424)."""
     return relational.project(read_table(spark, sf, "orders"), "o_orderkey", "o_totalprice")
@@ -506,6 +523,127 @@ def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    return text.tfidf_top_terms(fan_out(read_table(spark, sf, "documents")), k=1)
+
+
+def q_left_join_zero_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers with their order count INCLUDING zero-order customers
+    (left outer join + null-safe count)."""
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_price"),
+        )
+    )
+
+
+def q_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation customer vs supplier counts, FULL OUTER joined — nations
+    appearing on either side survive with null-safe zero counts."""
+    c = (
+        read_table(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        read_table(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+def q_cube_counts(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+def q_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-function suite: dense_rank / percent_rank / ntile / cume_dist
+    over one deterministic total order per priority."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+def q_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar math-function suite folded into one deterministic row."""
+    li = read_table(spark, sf, "lineitem")
+    return li.agg(
+        F.sum(F.round(F.col("l_extendedprice"), 1)).alias("sum_round"),
+        F.sum(F.abs(F.col("l_discount") - 0.05)).alias("sum_abs"),
+        F.sum(F.ceil(F.col("l_quantity")).cast("bigint")).alias("sum_ceil"),
+        F.sum(F.floor(F.col("l_quantity")).cast("bigint")).alias("sum_floor"),
+        F.sum(F.sqrt(F.col("l_extendedprice"))).alias("sum_sqrt"),
+        F.sum(F.log(F.col("l_extendedprice") + 1.0)).alias("sum_ln"),
+        F.sum(F.pow(F.col("l_discount"), 2)).alias("sum_pow"),
+    )
+
+
+def q_string_funcs2(spark: SparkSession, sf: str) -> DataFrame:
+    c = read_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("masked"),
+        F.reverse(F.col("c_mktsegment")).alias("rev_seg"),
+        F.trim(F.col("c_mktsegment")).alias("seg_trim"),
+    )
+
+
+def q_null_handling(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL-handling suite over the nullable JSON field: coalesce, nullif,
+    null-aware counts."""
+    ev = read_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+        F.count(k).alias("n_nonnull"),
+        F.sum(F.coalesce(k, F.lit(0))).cast("bigint").alias("sum_k"),
+        F.count(F.nullif(F.col("event_type"), F.lit("error"))).alias("n_not_error"),
+    )
+
+
+def q_array_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-column math via higher-order functions: per-label mean L2 norm
+    and mean first component of the embedding vectors."""
+    emb = read_table(spark, sf, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return emb.groupBy("label").agg(
+        F.avg(F.sqrt(sq_sum)).alias("mean_norm"),
+        F.avg(F.element_at(F.col("embedding"), 1).cast("double")).alias("mean_first"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding near-dup + IVF ANN (north star)
 # --------------------------------------------------------------------------
@@ -536,6 +674,7 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES: dict[str, QueryFn] = {
     # reference surface
+    "csv_scan": q_csv_scan,
     "table_scan_project": q_table_scan_project,
     "scan_filter_pushdown": q_scan_filter_pushdown,
     "elt_filter": q_elt_filter,
@@ -602,6 +741,16 @@ QUERIES: dict[str, QueryFn] = {
     "max_by_priority": q_max_by_priority,
     "corr_by_flag": q_corr_by_flag,
     "top_tokens": q_top_tokens,
+    # tf-idf / outer joins / cube / ranks / scalar suites
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "left_join_zero_counts": q_left_join_zero_counts,
+    "full_outer_join": q_full_outer_join,
+    "cube_counts": q_cube_counts,
+    "window_ranks": q_window_ranks,
+    "math_funcs": q_math_funcs,
+    "string_funcs2": q_string_funcs2,
+    "null_handling": q_null_handling,
+    "array_stats": q_array_stats,
     # embedding near-dup + IVF
     "dedup_embedding": q_dedup_embedding,
     "ann_ivf": q_ann_ivf,
@@ -642,6 +791,13 @@ def _lang_id_oracle() -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "csv_scan": """
+        SELECT CAST(quality AS INTEGER) AS quality,
+               CAST(alcohol AS DOUBLE) AS alcohol,
+               CAST("fixed acidity" AS DOUBLE) AS fixed_acidity
+        FROM read_csv('/root/reference/data/winequality-white.csv',
+                      delim=';', header=true)
+    """,
     "table_scan_project": "SELECT o_orderkey, o_totalprice FROM orders",
     "scan_filter_pushdown": (
         "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice < 50000"
@@ -926,6 +1082,92 @@ ORACLE_SQL: dict[str, str] = {
           FROM documents)
         WHERE token <> ''
         GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    # tf-idf / outer joins / cube / ranks / scalar suites
+    "tfidf_top_terms": r"""
+        WITH tokens AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tokens WHERE term <> ''
+          GROUP BY doc_id, term),
+        dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / dfreq.df) AS tfidf
+          FROM tf JOIN dfreq USING (term))
+        SELECT doc_id, term, tfidf,
+               CAST(rn AS BIGINT) AS rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term) AS rn
+              FROM scored)
+        WHERE rn <= 1
+    """,
+    "left_join_zero_counts": """
+        SELECT c_custkey, count(o_orderkey) AS order_cnt,
+               coalesce(sum(o_totalprice), 0.0) AS total_price
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "full_outer_join": """
+        WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+                   FROM customer GROUP BY 1),
+             s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+                   FROM supplier GROUP BY 1)
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               coalesce(n_customers, 0) AS n_customers,
+               coalesce(n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    "cube_counts": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "window_ranks": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(dense_rank() OVER w AS BIGINT) AS drank,
+               percent_rank() OVER w AS prank,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               cume_dist() OVER w AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    "math_funcs": """
+        SELECT sum(round(l_extendedprice, 1)) AS sum_round,
+               sum(abs(l_discount - 0.05)) AS sum_abs,
+               CAST(sum(ceil(l_quantity)) AS BIGINT) AS sum_ceil,
+               CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_floor,
+               sum(sqrt(l_extendedprice)) AS sum_sqrt,
+               sum(ln(l_extendedprice + 1.0)) AS sum_ln,
+               sum(pow(l_discount, 2)) AS sum_pow
+        FROM lineitem
+    """,
+    "string_funcs2": """
+        SELECT c_custkey,
+               concat_ws('|', c_name, c_mktsegment) AS joined,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+               regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+               reverse(c_mktsegment) AS rev_seg,
+               trim(c_mktsegment) AS seg_trim
+        FROM customer
+    """,
+    "null_handling": """
+        SELECT event_type,
+               CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_nonnull,
+               CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER), 0)) AS BIGINT) AS sum_k,
+               count(nullif(event_type, 'error')) AS n_not_error
+        FROM events GROUP BY event_type
+    """,
+    "array_stats": """
+        SELECT label,
+               avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))) AS mean_norm,
+               avg(CAST(embedding[1] AS DOUBLE)) AS mean_first,
+               count(*) AS n_vecs
+        FROM embeddings GROUP BY label
     """,
     # embedding near-dup
     "dedup_embedding": """

@@ -36,6 +36,11 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    # Catalog warehouse for bucketed/saveAsTable tables; keep it out of the
+    # repo working tree (default would be ./spark-warehouse in cwd).
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"
+    ),
 }
 
 

@@ -96,6 +96,28 @@ def insert_ignore_by_name(
     return n
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 16,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-backed bucketed (and optionally sorted) parquet table.
+
+    THE shuffle eliminator for repeated fact-fact joins: two tables bucketed
+    (and sorted) on the same join key with the same bucket count sort-merge
+    join WITHOUT any Exchange — at 100 TB that deletes the single largest
+    cost of a lineitem ⋈ orders style join. Verified by
+    tests/test_sinks.py::test_bucketed_join_has_no_exchange.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def write_commit_marker(marker_dir: str, dataset: str, payload: dict | None = None) -> str:
     """Dataset-outlet equivalent (etl_elt_wine.py:195,223): a tiny JSON marker
     file whose presence means 'this sink committed'. Downstream pipelines gate

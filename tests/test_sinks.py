@@ -53,3 +53,45 @@ def test_intra_batch_duplicate_keys_collapse(spark, tmp_path):
     n = insert_ignore_by_name(spark, _batch(spark, [(1, "a"), (1, "z"), (2, "b")]), path)
     assert n == 2
     assert spark.read.parquet(path).count() == 2
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join proof: both sides bucketed+sorted on the join key →
+    the sort-merge join plans with ZERO Exchange (and zero Sort) operators.
+    This is the at-rest layout that deletes the fact-fact shuffle at 100 TB."""
+    import io
+    from contextlib import redirect_stdout
+
+    from airflow_etl_elt_spark.sources.sinks import write_bucketed
+
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    o_tbl, l_tbl = f"o_bkt_{suffix}", f"l_bkt_{suffix}"
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed(orders, o_tbl, ("o_orderkey",), num_buckets=4, sort_cols=("o_orderkey",))
+    write_bucketed(lineitem, l_tbl, ("l_orderkey",), num_buckets=4, sort_cols=("l_orderkey",))
+
+    # force the sort-merge path (at test scale the planner would broadcast,
+    # which has its own BroadcastExchange and bypasses bucketing entirely)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(l_tbl).join(
+            spark.table(o_tbl),
+            spark.table(l_tbl).l_orderkey == spark.table(o_tbl).o_orderkey,
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # bucket co-location: no shuffle
+        # and the co-located result is identical to the plain shuffled join
+        expect = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")

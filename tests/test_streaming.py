@@ -84,3 +84,63 @@ def test_session_window_stream(spark, tmp_path):
         per_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(per_user[1]) == [1, 2]
     assert per_user[2] == [1]
+
+
+def _run_foreach_batch(stream_df, ckpt, mode="update"):
+    """Collect availableNow output via foreachBatch (works for every output
+    mode, unlike the memory sink)."""
+    batches = []
+
+    def sink(df, _bid):
+        batches.extend(df.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    from airflow_etl_elt_spark.streaming.stateful import running_user_totals_stream
+    from airflow_etl_elt_spark.streaming.windowed import read_events_stream
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    _write_event_drop(spark, src, [(1, _ts(0, 5), 1, "click", 1.0, "{}"),
+                                   (2, _ts(0, 6), 1, "click", 2.0, "{}")])
+    got1 = _run_foreach_batch(
+        running_user_totals_stream(read_events_stream(spark, src)), ckpt
+    )
+    assert {(r["user_id"], r["n_events"], r["total_value"]) for r in got1} == {(1, 2, 3.0)}
+
+    # state must persist through the checkpoint into the next availableNow run
+    _write_event_drop(spark, src, [(3, _ts(1, 0), 1, "click", 4.0, "{}"),
+                                   (4, _ts(1, 1), 2, "view", 9.0, "{}")])
+    got2 = _run_foreach_batch(
+        running_user_totals_stream(read_events_stream(spark, src)), ckpt
+    )
+    per_user = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got2}
+    assert per_user[1] == (3, 7.0)
+    assert per_user[2] == (1, 9.0)
+
+
+def test_dedup_stream_drops_duplicate_ids(spark, tmp_path):
+    from airflow_etl_elt_spark.streaming.stateful import dedup_stream
+    from airflow_etl_elt_spark.streaming.windowed import read_events_stream
+
+    src = str(tmp_path / "events")
+    rows = [
+        (1, _ts(0, 0), 1, "a", 1.0, "{}"),
+        (1, _ts(0, 1), 1, "a", 1.0, "{}"),   # duplicate event_id
+        (2, _ts(0, 2), 1, "a", 1.0, "{}"),
+    ]
+    _write_event_drop(spark, src, rows)
+    got = _run_foreach_batch(
+        dedup_stream(read_events_stream(spark, src)), str(tmp_path / "ck"), mode="append"
+    )
+    assert sorted(r["event_id"] for r in got) == [1, 2]
