@@ -644,6 +644,120 @@ def q_array_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-shaped five-way join: revenue by nation for one region where
+    customer and supplier are co-located. Scale shape: region/nation are
+    broadcast (KB-sized even at 100 TB fact scale), the fact-fact
+    lineitem ⋈ orders shuffle happens once, and the region filter prunes
+    before the supplier join via the broadcast dimension."""
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    asian_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(asian_nations), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q_exists_big_order(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS-style correlated subquery as a left-semi join (customers with at
+    least one order above the price threshold)."""
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def q_scalar_above_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-subquery filter: orders priced above 1.5x the global average.
+    The scalar is a one-row agg broadcast into the scan's filter — no
+    driver-side collect, no second full pass."""
+    o = read_table(spark, sf, "orders")
+    thr = o.agg((F.avg("o_totalprice") * 1.5).alias("thr"))
+    return (
+        o.join(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_having_order_qty(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ... HAVING (TPC-H Q18 spirit): orders whose total lineitem
+    quantity exceeds the threshold. HAVING is just a filter above the agg —
+    map-side partial aggregation still applies."""
+    li = read_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+
+
+def q_window_lead_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """lead / first_value / last_value over one deterministic per-user time
+    order (ts, event_id tie-break)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(wf).alias("first_val"),
+        F.last("value").over(wf).alias("last_val"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than cube/rollup) via the SQL
+    surface — the DataFrame API deliberately routes through spark.sql here
+    because GROUPING SETS has no DataFrame equivalent."""
+    read_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS cnt, sum(l_extendedprice) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_date_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """Date arithmetic suite: day diff vs epoch, month truncation, month end,
+    fixed-offset due date — all JVM-side date functions."""
+    o = read_table(spark, sf, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("bigint").alias("days_since"),
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 45).alias("due_date"),
+    )
+
+
+def q_array_agg_statuses(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped collect: distinct order statuses per priority as a sorted
+    comma-joined string (deterministic regardless of row order)."""
+    o = read_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding near-dup + IVF ANN (north star)
 # --------------------------------------------------------------------------
@@ -751,6 +865,15 @@ QUERIES: dict[str, QueryFn] = {
     "string_funcs2": q_string_funcs2,
     "null_handling": q_null_handling,
     "array_stats": q_array_stats,
+    # subqueries / multi-join / grouping sets / date suites
+    "tpch_q5_local_revenue": q_tpch_q5_local_revenue,
+    "exists_big_order": q_exists_big_order,
+    "scalar_above_avg": q_scalar_above_avg,
+    "having_order_qty": q_having_order_qty,
+    "window_lead_first_last": q_window_lead_first_last,
+    "grouping_sets": q_grouping_sets,
+    "date_arith": q_date_arith,
+    "array_agg_statuses": q_array_agg_statuses,
     # embedding near-dup + IVF
     "dedup_embedding": q_dedup_embedding,
     "ann_ivf": q_ann_ivf,
@@ -1168,6 +1291,59 @@ ORACLE_SQL: dict[str, str] = {
                avg(CAST(embedding[1] AS DOUBLE)) AS mean_first,
                count(*) AS n_vecs
         FROM embeddings GROUP BY label
+    """,
+    # subqueries / multi-join / grouping sets / date suites
+    "tpch_q5_local_revenue": """
+        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "exists_big_order": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    "scalar_above_avg": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    """,
+    "having_order_qty": """
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    """,
+    "window_lead_first_last": """
+        SELECT event_id, user_id,
+               lead(value) OVER w AS next_value,
+               first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS first_val,
+               last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS last_val
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS cnt, sum(l_extendedprice) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "date_arith": """
+        SELECT o_orderkey,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+               date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS due_date
+        FROM orders
+    """,
+    "array_agg_statuses": """
+        SELECT o_orderpriority,
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+               count(*) AS cnt
+        FROM orders GROUP BY o_orderpriority
     """,
     # embedding near-dup
     "dedup_embedding": """
