@@ -93,6 +93,43 @@ def extract_media_features(media: DataFrame, batch_size_hint: int = 256) -> Data
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Resize plumbing via mapInPandas: payload → (deterministically) resized
+    payload + updated dims.
+
+    The pixel resample itself is STUBBED (no codec libs in this container):
+    the fake "resize" takes an evenly-strided byte subsample of the payload
+    sized target_w*target_h, which preserves the real contract — output
+    payload size is a function of target dims, not input size, so downstream
+    partition-size math holds. Swap the inner function for a real
+    PIL ``Image.resize`` when codecs exist.
+    """
+    out_schema = "media_id bigint, payload binary, width int, height int, n_bytes bigint"
+    n_out = target_w * target_h
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if len(b) <= n_out:
+                    resized.append(b)
+                else:
+                    stride = len(b) / n_out
+                    resized.append(bytes(b[int(i * stride)] for i in range(n_out)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "width": pd.array([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.array([target_h] * len(pdf), dtype="int32"),
+                    "n_bytes": pd.array([len(r) for r in resized], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=out_schema)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 32, max_frames: int = 8) -> DataFrame:
     """Frame-sampling plumbing: explode a payload into up to ``max_frames``
     fixed-stride byte slices ("frames"). Real video sampling would decode

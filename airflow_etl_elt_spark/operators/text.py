@@ -150,6 +150,33 @@ def tfidf_top_terms(documents: DataFrame, k: int = 1) -> DataFrame:
     )
 
 
+def rolling_fingerprint(documents: DataFrame) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (polynomial hash of
+    the token-hash sequence, mod 2^31-1).
+
+    Unlike the md5-of-normalized-text fingerprint, this is the incremental
+    form a streaming tokenizer would maintain: fp = (fp*31 + h(token)) mod p.
+    Token hash = first 15 hex chars of md5 (60 bits, engine-portable), so the
+    whole computation is exact-reproducible in any engine — the DuckDB oracle
+    runs the same recurrence. All JVM-side higher-order functions; the modulus
+    < 2^31 keeps every intermediate under 2^36, ANSI-overflow-safe.
+    """
+    p = (1 << 31) - 1
+    tokens = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    token_hashes = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % p,
+    )
+    fp = F.aggregate(
+        token_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % p,
+    )
+    return documents.select("doc_id", fp.alias("fp"))
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercased text.
 

@@ -748,6 +748,12 @@ def q_date_arith(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document (north-star text
+    analysis) — engine-portable recurrence, exact DuckDB twin."""
+    return text.rolling_fingerprint(fan_out(read_table(spark, sf, "documents")))
+
+
 def q_array_agg_statuses(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped collect: distinct order statuses per priority as a sorted
     comma-joined string (deterministic regardless of row order)."""
@@ -874,6 +880,7 @@ QUERIES: dict[str, QueryFn] = {
     "grouping_sets": q_grouping_sets,
     "date_arith": q_date_arith,
     "array_agg_statuses": q_array_agg_statuses,
+    "rolling_fingerprint": q_rolling_fingerprint,
     # embedding near-dup + IVF
     "dedup_embedding": q_dedup_embedding,
     "ann_ivf": q_ann_ivf,
@@ -1344,6 +1351,16 @@ ORACLE_SQL: dict[str, str] = {
                array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
                count(*) AS cnt
         FROM orders GROUP BY o_orderpriority
+    """,
+    "rolling_fingerprint": r"""
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(
+                list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''),
+                t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
+            (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
+        FROM documents
     """,
     # embedding near-dup
     "dedup_embedding": """

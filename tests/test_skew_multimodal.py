@@ -1,0 +1,82 @@
+"""Salted skew join correctness + multimodal resize/frame plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from airflow_etl_elt_spark.operators.joins import salted_join
+from airflow_etl_elt_spark.operators.multimodal import (
+    documents_as_media,
+    extract_media_features,
+    frame_sample,
+    resize_media,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of fact rows hit key 1 (the hot key), the rest spread over 2..10.
+    fact = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit(1)).otherwise((F.col("id") % 9) + 2).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(1, 11).select(
+        F.col("id").alias("dk"), F.concat(F.lit("name_"), F.col("id")).alias("name")
+    )
+    return fact, dim
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    fact, dim = skewed
+    plain = fact.join(dim, fact.k == dim.dk).select("k", "v", "name")
+    salted = salted_join(fact, dim, "k", "dk", salt=4).select("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_left_outer_preserves_unmatched(spark, skewed):
+    fact, dim = skewed
+    fact2 = fact.union(spark.createDataFrame([(99, -1)], "k long, v long"))
+    out = salted_join(fact2, dim, "k", "dk", salt=4, how="left").filter(F.col("k") == 99)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["name"] is None
+
+
+def test_salted_join_spreads_hot_key(spark, skewed):
+    fact, dim = skewed
+    out = salted_join(fact, dim, "k", "dk", salt=4)
+    # pre-drop, the join key distribution carries the salt: peek at the plan
+    # indirectly by checking result size (900 hot rows survive exactly once)
+    assert out.filter(F.col("k") == 1).count() == 900
+
+
+def _media(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    return documents_as_media(docs)
+
+
+def test_resize_media_output_contract(spark):
+    out = resize_media(_media(spark), target_w=8, target_h=4).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 4
+        assert r["n_bytes"] == len(r["payload"]) <= 32
+
+
+def test_resize_media_deterministic(spark):
+    a = {r["media_id"]: bytes(r["payload"]) for r in resize_media(_media(spark)).collect()}
+    b = {r["media_id"]: bytes(r["payload"]) for r in resize_media(_media(spark)).collect()}
+    assert a == b
+
+
+def test_frame_sample_bounds(spark):
+    frames = frame_sample(_media(spark), every_n_bytes=16, max_frames=4)
+    per_doc = frames.groupBy("media_id").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in per_doc)
+
+
+def test_extract_features_schema(spark):
+    feats = extract_media_features(_media(spark))
+    assert feats.columns == ["media_id", "media_type", "width", "height", "n_bytes", "checksum"]
+    assert feats.count() == 50
