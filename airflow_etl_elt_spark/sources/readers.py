@@ -66,6 +66,23 @@ def read_csv_normalized(
     return normalize_columns(df)
 
 
+def read_json_lines(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. ALWAYS pass ``schema`` in production: without it
+    Spark runs a full inference pass over the data before the real scan —
+    at 100 TB that doubles the read. Inference is allowed here for ad-hoc
+    exploration only."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — same columnar pushdown/pruning properties as parquet
+    (verified in tests); useful when upstream systems emit ORC."""
+    return spark.read.orc(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one of the driver's parquet tables (TESTDATA.md layout).
 

@@ -48,6 +48,29 @@ def replace_table(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line — the interchange format for
+    LLM-pipeline corpora). Text formats lose type width (timestamps become
+    ISO strings, float32 arrays become numbers); readers must re-apply a
+    schema. Compresses well; still ~5-10x the parquet scan cost — use for
+    export boundaries, not intermediate storage."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — columnar with predicate pushdown, for ORC-consuming
+    downstream systems; parquet remains the house format."""
+    df.write.mode(mode).orc(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, sep: str = ";", header: bool = True, mode: str = "overwrite"
+) -> None:
+    """CSV sink matching the reference's `;`-delimited dialect
+    (utils.py:31) for round-tripping with the wine toolchain."""
+    df.write.mode(mode).options(sep=sep, header=str(header).lower()).csv(path)
+
+
 def insert_ignore_by_name(
     spark: SparkSession,
     batch: DataFrame,

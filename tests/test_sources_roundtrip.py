@@ -1,0 +1,73 @@
+"""Source/sink format roundtrips: JSON lines, ORC, CSV.
+
+Each format must preserve row content through write → read (with an explicit
+schema where the format is typeless), and ORC must keep parquet-class
+pushdown behavior.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from airflow_etl_elt_spark.sources.readers import read_json_lines, read_orc
+from airflow_etl_elt_spark.sources.sinks import write_csv, write_json_lines, write_orc
+from tests.conftest import SF_SMOKE
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+
+
+def test_json_roundtrip_with_schema(spark, tmp_path):
+    src = _orders(spark)
+    path = str(tmp_path / "orders_json")
+    write_json_lines(src, path)
+    back = read_json_lines(spark, path, schema=src.schema)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_json_array_column_roundtrip(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    path = str(tmp_path / "emb_json")
+    write_json_lines(emb, path)
+    back = read_json_lines(spark, path, schema=emb.schema)
+    a = {r["vec_id"]: r["embedding"] for r in back.collect()}
+    b = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert a == b
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    src = _orders(spark)
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # ORC scans must push filters like parquet scans do
+    plan = (
+        read_orc(spark, path)
+        .filter(F.col("o_totalprice") < 1000.0)
+        .select("o_orderkey")
+        ._sc._jvm.PythonSQLUtils.explainString(
+            read_orc(spark, path)
+            .filter(F.col("o_totalprice") < 1000.0)
+            .select("o_orderkey")
+            ._jdf.queryExecution(),
+            "formatted",
+        )
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1]
+
+
+def test_csv_roundtrip_reference_dialect(spark, tmp_path):
+    src = _orders(spark).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    path = str(tmp_path / "orders_csv")
+    write_csv(src, path)
+    back = (
+        spark.read.options(sep=";", header="true", inferSchema="true").csv(path)
+    )
+    assert back.count() == src.count()
+    assert [f.name for f in back.schema.fields] == ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    s = back.agg(F.sum("o_totalprice")).first()[0]
+    expect = src.agg(F.sum("o_totalprice")).first()[0]
+    assert abs(s - expect) < 1e-6 * abs(expect)
