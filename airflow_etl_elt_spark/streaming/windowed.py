@@ -69,6 +69,23 @@ def sessionize_stream(
     )
 
 
+def enrich_stream(events: DataFrame, users: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension table.
+
+    The static side is re-planned per micro-batch (a refreshed dim view is
+    picked up automatically) and broadcast when under the threshold — no
+    stream-side state is needed for a stream-static INNER join, so this
+    composes with downstream stateful aggs. At 100 TB-of-stream scale the
+    dim stays a broadcast; if the dim itself is huge, pre-bucket it on the
+    join key.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(users), events.user_id == users.u_user_id)
+        .select("event_id", "ts", "user_id", "event_type", "value", "u_segment")
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str, query_name: str) -> list:
     """Execute a streaming plan over everything currently available, collect
     the result from a memory sink, and stop — the catch-up/trigger pattern

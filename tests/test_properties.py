@@ -1,0 +1,87 @@
+"""Property-based tests (SURVEY.md §5 item 3): invariants that must hold for
+ANY input, not just the example fixtures — hypothesis generates the cases.
+
+Spark jobs per example are not free; max_examples is kept small and the data
+tiny, which still exercises the interesting boundary shapes (empty batches,
+all-duplicate batches, fraction 0/1 edges) far better than hand-picked rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from airflow_etl_elt_spark.operators.dedup import dedup_keep_first
+from airflow_etl_elt_spark.operators.relational import sample_fraction
+from airflow_etl_elt_spark.sources.sinks import insert_ignore_by_name
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+batches = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=20), st.integers(-5, 5)),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, v int") if rows else spark.createDataFrame([], "id int, v int")
+
+
+@given(batch=batches)
+@settings(**SETTINGS)
+def test_insert_ignore_idempotent(spark, tmp_path_factory, batch):
+    """Appending the same batch twice == appending it once, for any batch
+    (including empty and all-duplicate batches)."""
+    path = str(tmp_path_factory.mktemp("ap") / "t")
+    df = _df(spark, batch)
+    insert_ignore_by_name(spark, df, path)
+    once = sorted(map(tuple, spark.read.parquet(path).collect())) if batch else []
+    n2 = insert_ignore_by_name(spark, df, path)
+    assert n2 == 0 or not batch
+    twice = sorted(map(tuple, spark.read.parquet(path).collect())) if batch else []
+    assert once == twice
+    # exactly one row per distinct id
+    if batch:
+        ids = [r[0] for r in once]
+        assert len(ids) == len(set(ids)) == len({k for k, _ in batch})
+
+
+@given(batch=batches, frac=st.floats(min_value=0.0, max_value=1.0))
+@settings(**SETTINGS)
+def test_sample_is_subset_and_deterministic(spark, batch, frac):
+    df = _df(spark, batch)
+    s1 = sorted(map(tuple, sample_fraction(df, frac, seed=7).collect()))
+    s2 = sorted(map(tuple, sample_fraction(df, frac, seed=7).collect()))
+    assert s1 == s2  # same seed → same rows
+    base = sorted(map(tuple, df.collect()))
+    assert all(r in base for r in s1)  # subset, never invented rows
+
+
+@given(batch=batches)
+@settings(**SETTINGS)
+def test_random_split_partitions_the_input(spark, batch):
+    """randomSplit: disjoint (as multisets) and union == input."""
+    df = _df(spark, [(i, v) for i, (_, v) in enumerate(batch)])  # unique ids
+    a, b = df.randomSplit([0.7, 0.3], seed=42)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert sorted(ra + rb) == sorted(map(tuple, df.collect()))
+    assert not (set(ra) & set(rb))
+
+
+@given(batch=batches)
+@settings(**SETTINGS)
+def test_dedup_keep_first_keeps_min_order_row(spark, batch):
+    df = _df(spark, batch)
+    out = {r["id"]: r["v"] for r in dedup_keep_first(df, ["id"], "v").collect()}
+    expect = {}
+    for k, v in batch:
+        expect[k] = min(expect.get(k, v), v)
+    assert out == expect

@@ -105,6 +105,25 @@ def _run_foreach_batch(stream_df, ckpt, mode="update"):
     return batches
 
 
+def test_stream_static_enrichment(spark, tmp_path):
+    from airflow_etl_elt_spark.streaming.windowed import enrich_stream, read_events_stream
+
+    src = str(tmp_path / "events")
+    _write_event_drop(spark, src, [(1, _ts(0, 5), 1, "click", 1.0, "{}"),
+                                   (2, _ts(0, 6), 2, "view", 2.0, "{}"),
+                                   (3, _ts(0, 7), 9, "view", 3.0, "{}")])  # user 9: no dim row
+    users = spark.createDataFrame(
+        [(1, "gold"), (2, "free")], "u_user_id bigint, u_segment string"
+    )
+    got = _run_foreach_batch(
+        enrich_stream(read_events_stream(spark, src), users),
+        str(tmp_path / "ck"),
+        mode="append",
+    )
+    by_event = {r["event_id"]: r["u_segment"] for r in got}
+    assert by_event == {1: "gold", 2: "free"}  # inner join drops user 9
+
+
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     from airflow_etl_elt_spark.streaming.stateful import running_user_totals_stream
     from airflow_etl_elt_spark.streaming.windowed import read_events_stream
