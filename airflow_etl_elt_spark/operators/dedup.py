@@ -79,9 +79,18 @@ def _shingle_hashes_from_tokens(th: np.ndarray, k: int) -> np.ndarray:
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Canonical id + copy count per distinct content (hash-groupBy dedup)."""
+    """Canonical id + copy count per distinct content (hash-groupBy dedup).
+
+    Groups by md5(content), NOT the content itself: the shuffle then carries
+    a 32-byte digest per row instead of the document body — at 100 TB of
+    multi-KB documents that is the difference between shuffling 100 TB and
+    shuffling ~30 GB. 128-bit md5 makes an accidental collision (two distinct
+    texts merged) vanishingly unlikely (~n²/2¹²⁹); pipelines that cannot
+    tolerate even that use the md5 pass as a candidate filter and re-verify
+    the rare multi-member groups against the raw text.
+    """
     return (
-        documents.groupBy(text_col)
+        documents.groupBy(F.md5(F.col(text_col)).alias("__h"))
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("n_copies"),

@@ -35,6 +35,10 @@ DEFAULT_CONF: dict[str, str] = {
     # fact scale; 64 MB covers typical dimension tables without risking OOM.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # Don't hold task slots waiting for data-local executors: on local mode
+    # locality is meaningless, and on a cluster reading remote object storage
+    # (the 100 TB deployment shape) every read is non-local anyway.
+    "spark.locality.wait": "0s",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     # Catalog warehouse for bucketed/saveAsTable tables; keep it out of the
     # repo working tree (default would be ./spark-warehouse in cwd).
