@@ -656,14 +656,19 @@ def q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
     s = read_table(spark, sf, "supplier")
     n = read_table(spark, sf, "nation")
     r = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    asian_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
-        "n_nationkey", "n_name"
+    # Selectivity first: suppliers restricted to the region (a broadcast-sized
+    # dim even at 100 TB) prune lineitem ~|regions|x BEFORE the fact-fact
+    # shuffle — the join-order move Catalyst can't make on its own here
+    # because the region predicate reaches lineitem only through two joins.
+    asian_sup = (
+        s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
     )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(asian_nations), s.s_nationkey == F.col("n_nationkey"))
+        li.join(F.broadcast(asian_sup), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == F.col("s_nationkey")))
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )

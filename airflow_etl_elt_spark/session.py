@@ -31,9 +31,13 @@ DEFAULT_CONF: dict[str, str] = {
     # Parquet vectorized reader is on by default; keep pushdown explicit so a
     # config drift shows up in review rather than in a 100x slower scan.
     "spark.sql.parquet.filterPushdown": "true",
-    # Broadcast threshold: dims like region/nation are KB-sized even at 100 TB
-    # fact scale; 64 MB covers typical dimension tables without risking OOM.
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Static broadcast threshold: 16 MB. The static estimate is file-size x
+    # column-fraction and routinely UNDERestimates hash-relation memory; at
+    # 64 MB Spark happily picked a column-pruned 6M-row FACT table as the
+    # build side (measured: 13x slower than the shuffle join). Known-small
+    # dims are broadcast explicitly with F.broadcast; AQE may still upgrade
+    # shuffle joins to broadcast at runtime using ACCURATE post-shuffle sizes.
+    "spark.sql.autoBroadcastJoinThreshold": str(16 * 1024 * 1024),
     "spark.ui.enabled": "false",
     # Don't hold task slots waiting for data-local executors: on local mode
     # locality is meaningless, and on a cluster reading remote object storage
