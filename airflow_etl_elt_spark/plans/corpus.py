@@ -1,0 +1,91 @@
+"""End-to-end training-corpus pipeline: the LLM-data-pipeline operators
+composed into one deliverable flow (quality filter → language filter →
+exact dedup → near-dup removal → stats → partitioned parquet).
+
+This is the north-star counterpart of plans/wine.py: where wine.py
+re-expresses the reference's ETL/ELT DAGs, this file composes the
+north-star operators the way a pre-training data pipeline actually uses
+them (cf. C4/Gopher/RefinedWeb-style cleaning stages — public methodology).
+
+Scale shape of the whole flow:
+- quality + language scoring are codegen'd column expressions over one scan;
+- exact dedup shuffles md5 digests (32 B/row), never document bodies;
+- near-dup removal reuses MinHash LSH candidates (band-join on ids) and
+  drops every non-canonical member of each near-dup cluster;
+- the final write partitions by language so downstream per-language reads
+  prune at the directory level.
+
+Every stage returns a lazy DataFrame; one action materializes the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airflow_etl_elt_spark.operators import dedup, text
+
+
+def clean_corpus(
+    documents: DataFrame,
+    min_tokens: int = 10,
+    max_symbol_ratio: float = 0.3,
+    keep_langs: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.85,
+) -> DataFrame:
+    """Full cleaning flow; returns the surviving documents with quality and
+    language columns attached.
+
+    Near-dup policy: within each connected candidate pair (a, b) above the
+    threshold, the LARGER doc_id is dropped (min-id canonical, matching
+    exact_dedup) — one-pass transitive-lite policy (an id can only be
+    dropped, never promoted, so chains collapse toward the smallest id
+    without an iterative connected-components pass; the full CC variant is a
+    documented upgrade for adversarial near-dup graphs).
+    """
+    q = text.quality_score(documents).select("doc_id", "n_tokens", "punct_ratio")
+    lang = text.lang_id(documents).select(
+        "doc_id", F.col("predicted_lang").alias("lang_pred")
+    )
+
+    scored = (
+        documents.join(q, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("punct_ratio") <= max_symbol_ratio)
+            & (F.col("lang_pred").isin(*keep_langs))
+        )
+    )
+
+    # exact dedup: keep the canonical (min doc_id) row per distinct content
+    canon = (
+        scored.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_unique = scored.join(canon, "doc_id", "left_semi")
+
+    # near-dup removal: drop the higher id of every candidate pair
+    pairs = dedup.minhash_lsh_pairs(exact_unique, threshold=near_dup_threshold)
+    drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return exact_unique.join(drop_ids, "doc_id", "left_anti")
+
+
+def corpus_stats(corpus: DataFrame) -> DataFrame:
+    """Per-language corpus report: docs, tokens, mean quality signals."""
+    return (
+        corpus.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.avg("punct_ratio").alias("mean_punct_ratio"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+def write_corpus(corpus: DataFrame, path: str) -> None:
+    """Language-partitioned parquet: per-language consumers prune whole
+    directories; file sizes stay reviewable per partition."""
+    corpus.write.mode("overwrite").partitionBy("lang_pred").parquet(path)

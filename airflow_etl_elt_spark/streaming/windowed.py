@@ -86,6 +86,37 @@ def enrich_stream(events: DataFrame, users: DataFrame, watermark: str = "2 hours
     )
 
 
+def stream_insert_ignore(
+    stream_df: DataFrame,
+    path: str,
+    key_col: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once-per-key streaming ingestion: foreachBatch + the keyed
+    idempotent append (INSERT OR IGNORE semantics, sinks.insert_ignore_by_name).
+
+    Two dedup layers compose here: the checkpoint makes each micro-batch
+    processed once (at-least-once delivery into foreachBatch on retry), and
+    the keyed anti-join inside the batch writer makes REPLAYED batches and
+    cross-batch duplicate keys both no-ops — so the sink is idempotent end
+    to end, the streaming twin of the reference's INSERT OR IGNORE load
+    (etl_elt_wine.py:214-217). Runs availableNow: process all pending input,
+    then stop (the dataset-trigger catch-up pattern).
+    """
+    from airflow_etl_elt_spark.sources.sinks import insert_ignore_by_name
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        insert_ignore_by_name(batch_df.sparkSession, batch_df, path, key=key_col)
+
+    (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str, query_name: str) -> list:
     """Execute a streaming plan over everything currently available, collect
     the result from a memory sink, and stop — the catch-up/trigger pattern
