@@ -21,10 +21,12 @@ import pandas as pd
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5_local_revenue",
     "grouped_stats",
     "revenue_by_priority",
     "revenue_by_segment",
     "window_topk",
+    "window_ranks",
     "events_hourly",
     "sessionize",
     "dedup_exact",
@@ -32,6 +34,7 @@ HEADLINE = [
     "knn_cosine",
     "token_count",
     "lang_id",
+    "rolling_fingerprint",
 ]
 
 
