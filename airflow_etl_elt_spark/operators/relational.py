@@ -120,6 +120,26 @@ def sample_fraction(df: DataFrame, fraction: float, seed: int = 1) -> DataFrame:
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
 
 
+def deterministic_sample(
+    df: DataFrame, key_col: str, percent: int, buckets: int = 100
+) -> DataFrame:
+    """Content-hash sampling: keep rows whose md5(key) bucket < ``percent``.
+
+    Unlike seeded Bernoulli (``sample_fraction``), the selected SET is a pure
+    function of the data — stable across engines, re-runs, partitionings and
+    cluster sizes, which is what reproducible pipeline experiments ("always
+    the same 10% of users") actually need. The md5-first-15-hex-chars bucket
+    is engine-portable, so this is oracle-checkable exactly. Cost: one
+    codegen'd hash per row, no shuffle, filter runs at scan time.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+    return df.filter(bucket < percent)
+
+
 def distinct_sorted(df: DataFrame, col: str, ascending: bool = False) -> DataFrame:
     """Ordered distinct values (utils.py:263). Partial (map-side) distinct
     happens before the shuffle; the sort is on the already-tiny result."""

@@ -753,6 +753,14 @@ def q_date_arith(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-hash 10% sample of orders — reproducible sampling with an
+    exact oracle (unlike seeded Bernoulli, SURVEY §7 hazard 1)."""
+    return relational.deterministic_sample(
+        read_table(spark, sf, "orders"), "o_orderkey", percent=10
+    ).select("o_orderkey", "o_totalprice")
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint per document (north-star text
     analysis) — engine-portable recurrence, exact DuckDB twin."""
@@ -886,6 +894,7 @@ QUERIES: dict[str, QueryFn] = {
     "date_arith": q_date_arith,
     "array_agg_statuses": q_array_agg_statuses,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "deterministic_sample": q_deterministic_sample,
     # embedding near-dup + IVF
     "dedup_embedding": q_dedup_embedding,
     "ann_ivf": q_ann_ivf,
@@ -1356,6 +1365,10 @@ ORACLE_SQL: dict[str, str] = {
                array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
                count(*) AS cnt
         FROM orders GROUP BY o_orderpriority
+    """,
+    "deterministic_sample": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
     """,
     "rolling_fingerprint": r"""
         SELECT doc_id,
