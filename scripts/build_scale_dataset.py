@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Build an Nx replica of a fixture dir for scale-up experiments (SCALING.md).
+
+Usage:
+    python scripts/build_scale_dataset.py [SRC] [OUT] [REPLICAS]
+    # defaults: /root/testdata/sf0.1  /tmp/sf1x10  10
+
+Join keys are shifted per replica so key cardinality scales with volume
+(a pure row-copy would skew every key Nx and measure the wrong thing);
+document texts are salted per replica so near-dup structure stays constant
+instead of exploding quadratically in N. Dimension tables are copied as-is —
+at any fact scale they stay dimension-sized.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from airflow_etl_elt_spark.session import get_session  # noqa: E402
+from airflow_etl_elt_spark.sources.readers import read_table  # noqa: E402
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1x10"
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(out, exist_ok=True)
+    spark = get_session(app_name="scale-build")
+
+    def rep(df):
+        return df.crossJoin(spark.range(replicas).select(F.col("id").alias("__r")))
+
+    def shift(df, key):
+        hi = df.agg(F.max(key)).first()[0] + 1
+        return rep(df).withColumn(key, F.col(key) + F.col("__r") * hi)
+
+    shift(read_table(spark, src, "orders"), "o_orderkey").drop("__r").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/orders.parquet")
+    # lineitem shares the orders keyspace: shift by the ORDERS max
+    omax = read_table(spark, src, "orders").agg(F.max("o_orderkey")).first()[0] + 1
+    rep(read_table(spark, src, "lineitem")).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("__r") * omax
+    ).drop("__r").write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    shift(read_table(spark, src, "events"), "event_id").drop("__r").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/events.parquet")
+    dmax = read_table(spark, src, "documents").agg(F.max("doc_id")).first()[0] + 1
+    rep(read_table(spark, src, "documents")).withColumn(
+        "doc_id", F.col("doc_id") + F.col("__r") * dmax
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" replica"), F.col("__r"))).drop(
+        "__r"
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    shift(read_table(spark, src, "embeddings"), "vec_id").drop("__r").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/embeddings.parquet")
+    for t in ["customer", "supplier", "nation", "region", "part"]:
+        read_table(spark, src, t).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    for t in ["lineitem", "orders", "events", "documents", "embeddings"]:
+        print(t, spark.read.parquet(f"{out}/{t}.parquet").count())
+
+
+if __name__ == "__main__":
+    main()
