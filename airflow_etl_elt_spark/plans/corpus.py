@@ -89,3 +89,69 @@ def write_corpus(corpus: DataFrame, path: str) -> None:
     """Language-partitioned parquet: per-language consumers prune whole
     directories; file sizes stay reviewable per partition."""
     corpus.write.mode("overwrite").partitionBy("lang_pred").parquet(path)
+
+
+def pack_sequences(
+    documents: DataFrame, max_tokens: int = 2048, token_col: str = "n_tokens"
+) -> DataFrame:
+    """Greedy sequence packing: group documents into training sequences whose
+    token budgets sum to ≤ ``max_tokens`` (docs longer than the budget get a
+    pack of their own).
+
+    The packing decision is inherently sequential, so it runs per partition:
+    range-repartition + sort on doc_id makes the document order — and hence
+    the packing — DETERMINISTIC for a given partition count, and pack ids
+    (pid << 32 | local) are globally unique without any driver coordination.
+    Cross-partition packing efficiency loss is at most one underfull pack per
+    partition — negligible when partitions hold thousands of documents, which
+    is exactly the 100 TB shape. One Arrow-batched pass, no shuffle beyond
+    the range partition.
+    Returns (pack_id, doc_ids: array<bigint>, n_docs, total_tokens).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    prepared = (
+        documents.select(F.col("doc_id"), F.col(token_col).cast("bigint").alias("__t"))
+        .repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    schema = "pack_id bigint, doc_ids array<bigint>, n_docs int, total_tokens bigint"
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # state spans Arrow batches within the partition: one open pack
+        cur_ids: list[int] = []
+        cur_tok = 0
+        pid = None
+        local = 0
+        out_rows: list[tuple] = []
+
+        def flush():
+            nonlocal cur_ids, cur_tok, local
+            if cur_ids:
+                out_rows.append(((pid << 32) | local, list(cur_ids), len(cur_ids), cur_tok))
+                local += 1
+                cur_ids, cur_tok = [], 0
+
+        for pdf in batches:
+            if len(pdf) and pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            for doc_id, t in zip(pdf["doc_id"], pdf["__t"]):
+                t = int(t)
+                if cur_ids and cur_tok + t > max_tokens:
+                    flush()
+                cur_ids.append(int(doc_id))
+                cur_tok += t
+                if cur_tok >= max_tokens:
+                    flush()
+        flush()
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["pack_id", "doc_ids", "n_docs", "total_tokens"]
+            )
+
+    return prepared.mapInPandas(pack, schema=schema)

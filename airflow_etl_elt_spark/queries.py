@@ -753,6 +753,16 @@ def q_date_arith(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy training-sequence packing over token-counted documents
+    (plans/corpus.py). Rows-only: the sequential packing decision has no
+    SQL equivalent."""
+    from airflow_etl_elt_spark.plans.corpus import pack_sequences
+
+    counted = text.token_count(fan_out(read_table(spark, sf, "documents")))
+    return pack_sequences(counted, max_tokens=512)
+
+
 def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Content-hash 10% sample of orders — reproducible sampling with an
     exact oracle (unlike seeded Bernoulli, SURVEY §7 hazard 1)."""
@@ -895,6 +905,7 @@ QUERIES: dict[str, QueryFn] = {
     "array_agg_statuses": q_array_agg_statuses,
     "rolling_fingerprint": q_rolling_fingerprint,
     "deterministic_sample": q_deterministic_sample,
+    "pack_sequences": q_pack_sequences,
     # embedding near-dup + IVF
     "dedup_embedding": q_dedup_embedding,
     "ann_ivf": q_ann_ivf,

@@ -54,6 +54,26 @@ def test_write_corpus_partitions_by_lang(spark, tmp_path):
     assert any(d.startswith("lang_pred=") for d in os.listdir(path))
 
 
+def test_pack_sequences_budget_and_coverage(spark):
+    from airflow_etl_elt_spark.plans.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 900) for i in range(200)] + [(999, 5000)],
+        "doc_id bigint, n_tokens bigint",
+    )
+    packs = pack_sequences(docs, max_tokens=1000).collect()
+    all_ids = [d for r in packs for d in r["doc_ids"]]
+    assert sorted(all_ids) == sorted([r["doc_id"] for r in docs.collect()])  # exactly once
+    assert len(set(r["pack_id"] for r in packs)) == len(packs)  # unique pack ids
+    for r in packs:
+        assert r["total_tokens"] <= 1000 or r["n_docs"] == 1  # budget, oversize alone
+    # deterministic across runs
+    again = pack_sequences(docs, max_tokens=1000).collect()
+    assert sorted((r["pack_id"], tuple(r["doc_ids"])) for r in packs) == sorted(
+        (r["pack_id"], tuple(r["doc_ids"])) for r in again
+    )
+
+
 def test_idempotent_stream_ingestion(spark, tmp_path):
     import datetime as dt
 
