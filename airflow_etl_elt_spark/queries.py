@@ -753,6 +753,27 @@ def q_date_arith(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-RANGE window frame: per-user rolling 1-hour sum (frame bounded
+    by the ORDER value, not row counts — peers at equal timestamps share the
+    frame in both engines). Spark range frames need a numeric order key, so
+    the order is epoch-micros; DuckDB orders on the timestamp with an
+    INTERVAL bound — identical semantics at microsecond precision."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("value").over(w).alias("rolling_1h"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy training-sequence packing over token-counted documents
     (plans/corpus.py). Rows-only: the sequential packing decision has no
@@ -906,6 +927,7 @@ QUERIES: dict[str, QueryFn] = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "deterministic_sample": q_deterministic_sample,
     "pack_sequences": q_pack_sequences,
+    "window_range_frame": q_window_range_frame,
     # embedding near-dup + IVF
     "dedup_embedding": q_dedup_embedding,
     "ann_ivf": q_ann_ivf,
@@ -1380,6 +1402,13 @@ ORACLE_SQL: dict[str, str] = {
     "deterministic_sample": """
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
+    """,
+    "window_range_frame": """
+        SELECT event_id, user_id,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                AND CURRENT ROW) AS rolling_1h
+        FROM events
     """,
     "rolling_fingerprint": r"""
         SELECT doc_id,
