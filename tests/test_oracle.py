@@ -32,8 +32,6 @@ def _canon(v):
         return float(f"{v:.9g}")
     if isinstance(v, (dt.datetime, dt.date)):
         return str(v)
-    if isinstance(v, int):
-        return float(v) if abs(v) < 2**52 else v
     return v
 
 
@@ -46,6 +44,36 @@ def _rows_canonical(columns, rows):
 ORACLE_KEYS = sorted(ORACLE_SQL)
 
 
+def _type_class(type_name: str) -> str:
+    """Coarse type class used to detect integer-vs-decimal/float drift between
+    engines (e.g. DuckDB sum(int) -> HUGEINT while Spark keeps BIGINT — the
+    exact mismatch the driver's value-hash flags but equality-on-values
+    comparison would miss). Order matters: containers before scalars
+    ('INTEGER[]' must not classify as integer)."""
+    t = type_name.lower()
+    if "[]" in t or t.startswith(("array", "list")):
+        return "array"
+    if t.startswith(("struct", "map", "row")):
+        return "struct"
+    if "hugeint" in t or "int128" in t or "decimal" in t or "numeric" in t:
+        return "decimal"
+    if any(x in t for x in ("tinyint", "smallint", "bigint", "int")) or t in ("long", "short", "byte"):
+        return "integer"
+    if any(x in t for x in ("float", "double", "real")):
+        return "float"
+    if "bool" in t:
+        return "bool"
+    if "timestamp" in t:
+        return "timestamp"
+    if "date" in t:
+        return "date"
+    if any(x in t for x in ("string", "varchar", "utf8", "char")):
+        return "string"
+    if any(x in t for x in ("binary", "blob")):
+        return "binary"
+    return t
+
+
 @pytest.mark.parametrize("key", ORACLE_KEYS)
 def test_query_matches_oracle(spark, duck, key):
     sdf = QUERIES[key](spark, SF_SMOKE)
@@ -53,12 +81,23 @@ def test_query_matches_oracle(spark, duck, key):
     spark_cols = sdf.columns
 
     res = duck.sql(ORACLE_SQL[key])
-    duck_cols = [d[0] for d in res.description]
+    duck_cols = list(res.columns)
+    duck_types = [str(t) for t in res.types]
     duck_rows = res.fetchall()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{key}: column mismatch {spark_cols} vs {duck_cols}"
     )
+    # dtype drift check: compare coarse type classes column-by-column so
+    # HUGEINT/DECIMAL-vs-BIGINT oracle typing bugs fail in pytest before the
+    # driver's stricter value-hash sees them (ADVICE r1).
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    for c, t in zip(duck_cols, duck_types):
+        sc, dc = _type_class(spark_types[c]), _type_class(t)
+        assert sc == dc, (
+            f"{key}: column {c!r} type-class drift spark={spark_types[c]}({sc}) "
+            f"vs duckdb={t}({dc}) — add an explicit CAST to the oracle SQL"
+        )
     assert len(spark_rows) == len(duck_rows), (
         f"{key}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
