@@ -92,17 +92,55 @@ def main() -> None:
         timings[key] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+
+    # DuckDB denominator (VERDICT r1): time each headline key's ORACLE_SQL in
+    # the same process with the same best-of-N discipline, so BENCH_r{N}.json
+    # carries both sides of the <=2x-of-DuckDB bar instead of a numerator only.
+    duck_timings: dict[str, float] = {}
+    try:
+        import duckdb
+
+        from airflow_etl_elt_spark import TABLES
+        from airflow_etl_elt_spark.queries import ORACLE_SQL
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        for key in HEADLINE:
+            sql = ORACLE_SQL.get(key)
+            if sql is None:
+                continue  # rows-only keys (e.g. dedup_minhash) have no oracle
+            con.sql(sql).fetchall()  # warm the buffer pool, mirror Spark warmup
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck_timings[key] = round(best, 4)
+        con.close()
+    except Exception as exc:  # the Spark numbers must survive a broken oracle
+        print(f"duckdb baseline failed: {exc}", file=sys.stderr)
+
+    comparable = [k for k in HEADLINE if k in duck_timings]
+    duck_total = round(sum(duck_timings[k] for k in comparable), 4)
+    spark_comparable = round(sum(timings[k] for k in comparable), 4)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "duckdb_queries": duck_timings,
+        "duckdb_total": duck_total,
+        "spark_comparable_total": spark_comparable,
+        "ratio_vs_duckdb": round(spark_comparable / duck_total, 2) if duck_total else None,
+        "ratios": {
+            k: round(timings[k] / duck_timings[k], 2)
+            for k in comparable
+            if duck_timings[k] > 0
+        },
+    }
+    print(json.dumps(out))
     spark.stop()
 
 
