@@ -18,83 +18,147 @@ cardinality group keys; at 100 TB with high-cardinality keys switch to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def grouped_exact_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def grouped_exact_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    accuracy: int = 1000,
+) -> DataFrame:
     """Exact per-group median that stays distributed at any group size.
 
     ``F.median``/``percentile`` buffer every value of a group into one
     aggregation state and merge those buffers in ONE final task per group —
     measured 22 s on 6M rows x 3 groups, and a non-starter when a group holds
-    billions of values. This is the selection-by-distributed-sort form
-    instead:
+    billions of values. This is bracketed selection instead (two cheap
+    passes; the r1 variant range-repartitioned + materialized per-partition
+    offsets driver-side: 13 jobs / 327 tasks per call and a leaked cached
+    RDD, ADVICE r1; an intermediate bucketed-sort variant spent ~1.9 s in
+    interpreted higher-order-function bucket lookups):
 
-    1. range-repartition on (group, value) — contiguous sorted ranges,
-       every partition N-way parallel;
-    2. count rows per (partition, group) — a tiny driver-side list
-       (#partitions x #groups entries);
-    3. cumulative offsets per group give each partition the GLOBAL rank of
-       its first row in its group; a within-partition ``row_number`` window
-       (partitions are already sorted runs) completes exact global ranks;
-    4. keep the middle rank(s) per group, average them (pandas interpolated
-       median semantics for even counts).
+    1. Sketch pass: per-group non-null count n and a rank bracket
+       [lo, hi] = ``percentile_approx`` at quantiles 0.5 ± 2/accuracy.
+       The GK sketch's deterministic rank-error bound (±n/accuracy) makes
+       the bracket GUARANTEED to contain the middle rank(s) — this is a
+       correctness bound, not a heuristic. Tiny deterministic collect
+       (#groups rows), so every later branch agrees by construction
+       (repartitionByRange-based forms break here: its sampling is seeded
+       by RDD id, and physical exchange reuse is an optimization, never a
+       guarantee — measured plans showed NO ReusedExchange).
+    2. Selection pass — ONE conditional aggregation, all codegen'd
+       built-ins: exact count of rows below lo, plus the rows INSIDE the
+       bracket (≤ ~4n/accuracy of the group + boundary ties, 0.4%% at the
+       default) collected as a sorted array; the middle global rank(s) are
+       then pure array lookups (rank − below), averaged (pandas
+       interpolated median for even n). Groups whose bracket collapses to
+       a single value (lo == hi — e.g. heavy duplicates) skip selection
+       entirely: the median IS that value.
 
-    Total cost: one range shuffle + one pass — same shape at 6M or 6B rows.
+    Aggregation state is O(n/accuracy) per group — raise ``accuracy`` to
+    shrink it (1e4 → 0.04%%); even 1e12-row groups stay bounded. Known
+    adversarial shape: a value duplicated ~n times exactly AT a bracket
+    boundary re-inflates the collected array (lo == hi catches the common
+    all-ties case); compress ties into (value, count) pairs upstream if
+    that distribution is expected. NULL group keys are not supported
+    (literal-keyed broadcast join); filter them upstream if present.
     Returns (group_col, median_val).
     """
     vals = df.filter(F.col(value_col).isNotNull()).select(group_col, value_col)
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    # __pid must be MATERIALIZED as a column on the range-partitioned data:
-    # spark_partition_id() is evaluated at whatever stage references it, so a
-    # later window exchange would silently renumber it (measured: every
-    # offset lookup missed → empty result).
-    ranged = (
-        vals.repartitionByRange(n_parts, F.col(group_col), F.col(value_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    part_group_counts = (
-        ranged.groupBy("__pid", group_col).agg(F.count(F.lit(1)).alias("__cnt")).collect()
-    )
-    # per-group cumulative offset of each partition, in partition order
-    offsets: dict[tuple, int] = {}
-    totals: dict = {}
-    for row in sorted(part_group_counts, key=lambda r: r["__pid"]):
-        g = row[group_col]
-        offsets[(row["__pid"], g)] = totals.get(g, 0)
-        totals[g] = totals.get(g, 0) + row["__cnt"]
-    if not totals:
-        return df.select(group_col).limit(0).withColumn(
-            "median_val", F.lit(None).cast("double")
+    delta = 2.0 / accuracy
+    pre = (
+        vals.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.percentile_approx(
+                value_col, [max(0.5 - delta, 0.0), min(0.5 + delta, 1.0)], accuracy
+            ).alias("__bracket"),
         )
-    offset_map = F.create_map(
-        *[
-            x
-            for (pid, g), off in offsets.items()
-            for x in (F.concat_ws("|", F.lit(pid), F.lit(g)), F.lit(off))
+        .collect()
+    )
+    brackets = [
+        {
+            "g": r[group_col],
+            "lo": float(r["__bracket"][0]),
+            "hi": float(r["__bracket"][1]),
+            "n": int(r["__n"]),
+        }
+        for r in pre
+        if r["__bracket"] is not None and r["__n"] > 0
+    ]
+    return _median_selection(vals, group_col, value_col, brackets)
+
+
+def _median_selection(
+    vals: DataFrame,
+    group_col: str,
+    value_col: str,
+    brackets: list,
+) -> DataFrame:
+    """Selection pass of ``grouped_exact_median`` given per-group rank
+    brackets (dicts with g/lo/hi/n). Returns (group_col, median_val)."""
+    from pyspark.sql import types as T
+
+    spark = vals.sparkSession
+    gtype = vals.schema[group_col].dataType
+    med_schema = T.StructType(
+        [
+            T.StructField(group_col, gtype),
+            T.StructField("median_val", T.DoubleType()),
         ]
     )
-    total_map = F.create_map(
-        *[x for g, n in totals.items() for x in (F.lit(g), F.lit(n))]
+    done = [
+        (b["g"], b["lo"]) for b in brackets if b["lo"] == b["hi"]
+    ]
+    todo = [b for b in brackets if b["lo"] != b["hi"]]
+    done_df = spark.createDataFrame(done, med_schema)
+    if not todo:
+        return done_df
+    bracket_schema = T.StructType(
+        [
+            T.StructField(group_col, gtype),
+            T.StructField("__lo", T.DoubleType()),
+            T.StructField("__hi", T.DoubleType()),
+            T.StructField("__k1", T.LongType()),
+            T.StructField("__k2", T.LongType()),
+        ]
     )
-    w = Window.partitionBy("__pid", group_col).orderBy(value_col)
-    ranked = ranged.select(
+    bracket_df = spark.createDataFrame(
+        [
+            (b["g"], b["lo"], b["hi"], (b["n"] + 1) // 2, b["n"] // 2 + 1)
+            for b in todo
+        ],
+        bracket_schema,
+    )
+    v_dbl = F.col(value_col).cast("double")
+    tagged = vals.join(F.broadcast(bracket_df), group_col)
+    # One conditional aggregation does everything: exact below-bracket count
+    # plus the (bounded) in-bracket values as a sorted array — partial states
+    # stay O(n/accuracy) per group, merge by concatenation, and the middle
+    # ranks become a pure array lookup. No window, no second pass.
+    agg = tagged.groupBy(group_col).agg(
+        F.count(F.when(v_dbl < F.col("__lo"), 1)).alias("__below"),
+        F.sort_array(
+            F.collect_list(
+                F.when((v_dbl >= F.col("__lo")) & (v_dbl <= F.col("__hi")), v_dbl)
+            )
+        ).alias("__c"),
+        F.first("__k1").alias("__k1"),
+        F.first("__k2").alias("__k2"),
+    )
+    med = agg.select(
         group_col,
-        F.col(value_col).cast("double").alias("__v"),
         (
-            F.row_number().over(w)
-            + offset_map[F.concat_ws("|", F.col("__pid"), F.col(group_col))]
-        ).alias("__rank"),
-        total_map[F.col(group_col)].alias("__n"),
+            (
+                F.element_at("__c", (F.col("__k1") - F.col("__below")).cast("int"))
+                + F.element_at("__c", (F.col("__k2") - F.col("__below")).cast("int"))
+            )
+            / 2.0
+        ).alias("median_val"),
     )
-    # odd n: rank (n+1)/2 twice-averaged with itself; even n: ranks n/2, n/2+1
-    mid = ranked.filter(
-        (F.col("__rank") == F.floor((F.col("__n") + 1) / 2))
-        | (F.col("__rank") == F.floor(F.col("__n") / 2) + 1)
-    )
-    return mid.groupBy(group_col).agg(F.avg("__v").alias("median_val"))
+    return med.unionByName(done_df) if done else med
 
 
 def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
@@ -102,20 +166,66 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     ordered by group desc (etl_elt_wine.py:426-428 restated).
 
     The streaming-friendly stats (mean/std/min/max/count) partial-aggregate
-    map-side as usual; the exact median comes from ``grouped_exact_median``
-    (distributed selection — see its docstring for why not ``F.median``) and
-    is joined back on the group key (per-group result rows, broadcast-sized).
+    map-side as usual, FUSED into the same scan as the median's sketch pass
+    — one pass yields every per-group scalar plus the rank bracket (all
+    mergeable aggregation states), collected as a #groups-row local
+    relation. Only the median's bracketed selection pass (see
+    ``grouped_exact_median`` for the algorithm and why not ``F.median``)
+    touches the data again: 2 scans, no full-data shuffle.
     """
-    base = df.groupBy(group_col).agg(
-        F.avg(value_col).alias("mean_val"),
-        F.stddev_samp(value_col).alias("std_val"),
-        F.min(value_col).alias("min_val"),
-        F.max(value_col).alias("max_val"),
-        F.count(F.lit(1)).alias("cnt"),
+    from pyspark.sql import types as T
+
+    accuracy = 1000
+    delta = 2.0 / accuracy
+    pre = (
+        df.groupBy(group_col)
+        .agg(
+            F.avg(value_col).alias("mean_val"),
+            F.stddev_samp(value_col).alias("std_val"),
+            F.min(value_col).alias("min_val"),
+            F.max(value_col).alias("max_val"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(value_col).alias("__nn"),
+            F.percentile_approx(
+                value_col, [max(0.5 - delta, 0.0), min(0.5 + delta, 1.0)], accuracy
+            ).alias("__bracket"),
+        )
+        .collect()
     )
-    med = grouped_exact_median(df, group_col, value_col)
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType
+    vtype = df.schema[value_col].dataType
+    base_schema = T.StructType(
+        [
+            T.StructField(group_col, gtype),
+            T.StructField("mean_val", T.DoubleType()),
+            T.StructField("std_val", T.DoubleType()),
+            T.StructField("min_val", vtype),
+            T.StructField("max_val", vtype),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    base = spark.createDataFrame(
+        [
+            (r[group_col], r["mean_val"], r["std_val"], r["min_val"], r["max_val"], r["cnt"])
+            for r in pre
+        ],
+        base_schema,
+    )
+    brackets = [
+        {
+            "g": r[group_col],
+            "lo": float(r["__bracket"][0]),
+            "hi": float(r["__bracket"][1]),
+            "n": int(r["__nn"]),
+        }
+        for r in pre
+        if r["__bracket"] is not None and r["__nn"] > 0
+    ]
+    vals = df.filter(F.col(value_col).isNotNull()).select(group_col, value_col)
+    med = _median_selection(vals, group_col, value_col, brackets)
     return (
-        base.join(med, group_col)
+        base.join(F.broadcast(med), group_col, "left")
         .select(
             group_col, "mean_val", "median_val", "std_val", "min_val", "max_val", "cnt"
         )

@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from airflow_etl_elt_spark.operators._cache import rotate_persist
 from pyspark.sql.functions import pandas_udf
 
 from airflow_etl_elt_spark.sources.readers import fan_out
@@ -199,9 +201,9 @@ def minhash_lsh_pairs(
     # self-join below — re-shingling every document ~2x`bands` times. With it,
     # shingling happens exactly once per document. This is also the 100 TB
     # shape: signatures are tiny (64 longs/doc) and typically land in a
-    # persisted/bucketed intermediate table.
-    sigs = sigs.persist()
-    sigs.count()
+    # persisted/bucketed intermediate table. rotate_persist bounds the live
+    # cache to one signature frame across repeated calls (ADVICE r1).
+    sigs = rotate_persist("minhash_sigs", sigs)
 
     # Band the signature into `bands` compact 64-bit keys (xxhash64 of the
     # band's minhash slice) and explode to (band_id, band_sig) rows carrying
@@ -302,8 +304,7 @@ def simhash_near_pairs(
     """
     # Eager persist for the same concurrent-self-join reason as in
     # minhash_lsh_pairs: without it both join sides compute the sketch UDF.
-    sk = simhash(documents, text_col, id_col).persist()
-    sk.count()
+    sk = rotate_persist("simhash_sketches", simhash(documents, text_col, id_col))
     chunks = sk.select(
         "id",
         "simhash",

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from airflow_etl_elt_spark.operators._cache import rotate_persist
+
 
 def project(df: DataFrame, *cols: str) -> DataFrame:
     """Narrow projection (etl_elt_wine.py:270). Column pruning reaches the scan."""
@@ -65,7 +67,11 @@ def surrogate_key(
     """
     cols = [F.col(c) for c in order_by]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *cols).persist()
+    # rotate_persist: the cache pins one InMemoryRelation whose RDD lineage
+    # is fixed, so offsets computed below stay valid even under eviction
+    # (recompute re-runs the SAME seeded range sampling); rotation bounds the
+    # live cache to one frame across repeated calls (ADVICE r1).
+    ranged = rotate_persist("surrogate_key_ranged", df.repartitionByRange(n, *cols), materialize=False)
     part_counts = (
         ranged.select(F.spark_partition_id().alias("__pid"))
         .groupBy("__pid")

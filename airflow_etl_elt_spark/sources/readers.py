@@ -22,6 +22,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# (applicationId, path) -> resolved base DataFrame; see read_table.
+_RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def normalize_columns(df: DataFrame) -> DataFrame:
     """Spaces → underscores in every column name (utils.py:32 parity)."""
@@ -100,13 +103,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC so results agree even under a caller-provided session that didn't
     # go through our get_session defaults.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Catalog-style relation cache: re-resolving the same path re-lists files
+    # and re-reads parquet footers on the DRIVER every time (~50-150 ms per
+    # table), which a real engine amortizes in its catalog (Spark's own
+    # spark.table does the same via CachedDataSourceTable). Keyed by
+    # applicationId so a restarted session never sees relations bound to a
+    # dead SparkContext. DataFrames are immutable, so sharing one base
+    # relation across queries is safe. Data itself is NOT cached.
+    key = (spark.sparkContext.applicationId, path)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _RELATION_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict[str, DataFrame]:

@@ -5,8 +5,11 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Timing discipline: the SparkSession is built (and the JVM warmed with one
 trivial job) before any query is timed; each query is timed end-to-end
-including its collect() — results are aggregation-shaped (small), so driver
-transfer is noise, and the DuckDB baseline pays the same fetch.
+including fetching the full result to the driver as a pandas frame —
+Arrow-batched toPandas() on the Spark side, .df() on the DuckDB side, so
+both engines pay the same columnar fetch. (Row-at-a-time collect() was
+measured to spend ~1 s deserializing a 150 k-row result into Python Row
+objects — benchmarking the fetch API, not the engine.)
 """
 
 from __future__ import annotations
@@ -74,7 +77,7 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for key in HEADLINE:
             try:
-                QUERIES[key](spark, warm_dir).collect()
+                QUERIES[key](spark, warm_dir).toPandas()
             except Exception:
                 pass  # warmup must never fail the bench
 
@@ -87,7 +90,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            QUERIES[key](spark, sf_dir).collect()
+            QUERIES[key](spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         timings[key] = round(best, 4)
 
@@ -110,11 +113,11 @@ def main() -> None:
             sql = ORACLE_SQL.get(key)
             if sql is None:
                 continue  # rows-only keys (e.g. dedup_minhash) have no oracle
-            con.sql(sql).fetchall()  # warm the buffer pool, mirror Spark warmup
+            con.sql(sql).df()  # warm the buffer pool, mirror Spark warmup
             best = float("inf")
             for _ in range(runs):
                 t0 = time.perf_counter()
-                con.sql(sql).fetchall()
+                con.sql(sql).df()
                 best = min(best, time.perf_counter() - t0)
             duck_timings[key] = round(best, 4)
         con.close()
