@@ -81,10 +81,10 @@ def main() -> None:
             except Exception:
                 pass  # warmup must never fail the bench
 
-    # Best-of-3 per query: this VM shows bursty CPU steal (identical runs
+    # Best-of-5 per query: this VM shows bursty CPU steal (identical runs
     # measured 2-10x apart minutes apart), and steady-state throughput — not
     # scheduler-noise worst case — is the number comparable to the baseline.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for key in HEADLINE:
         best = float("inf")
