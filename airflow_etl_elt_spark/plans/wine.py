@@ -32,11 +32,12 @@ from airflow_etl_elt_spark.operators.relational import (
 )
 from airflow_etl_elt_spark.operators.stats import kde_per_group
 from airflow_etl_elt_spark.plans.pipeline import Pipeline
-from airflow_etl_elt_spark.sources.readers import read_csv_normalized
+from airflow_etl_elt_spark.sources.readers import read_csv_normalized, read_jdbc
 from airflow_etl_elt_spark.sources.sinks import (
     insert_ignore_by_name,
     replace_table,
     write_commit_marker,
+    write_jdbc,
 )
 
 FEATURE_COLS = [
@@ -90,9 +91,24 @@ def transform_wine(df: DataFrame, params: dict[str, Any]) -> DataFrame:
 
 
 def elt_transform(spark: SparkSession, raw_path: str) -> DataFrame:
-    """etl_elt_wine.py:249-275: the in-database transform — here the filter
-    and projection are pushed into the parquet scan by Catalyst, the same
-    computation-pushdown the reference gets by shipping SQL to Postgres."""
+    """etl_elt_wine.py:249-275: the in-database transform.
+
+    ``raw_path`` may be a parquet path (filter + projection pushed into the
+    scan by Catalyst) or a ``jdbc:`` URL (the reference's actual engine
+    shape: the predicate/projection are folded into the query the DATABASE
+    executes — read_jdbc — so only the ~2k-row result crosses the wire,
+    etl_elt_wine.py:268-272)."""
+    if raw_path.startswith("jdbc:"):
+        # ANSI-quoted identifiers: Spark's JDBC writer creates quoted
+        # (case-preserved) columns; unquoted names would fold to uppercase
+        # on Derby / lowercase on Postgres. Quoting is portable to both.
+        return read_jdbc(
+            spark,
+            raw_path,
+            "wine_data_raw",
+            predicate='"total_sulfur_dioxide" < 125',
+            columns=('"quality"', '"alcohol"'),
+        )
     raw = spark.read.parquet(raw_path)
     return filter_lt(raw, "total_sulfur_dioxide", 125.0).select("quality", "alcohol")
 
@@ -103,11 +119,18 @@ def build_wine_etl_pipeline(
     warehouse_dir: str,
     params: dict[str, Any] | None = None,
     now=dt.datetime.now,
+    pg_engine_url: str | None = None,
 ) -> Pipeline:
-    """The ETL_ELT_wine DAG. Step names mirror the reference task ids."""
+    """The ETL_ELT_wine DAG. Step names mirror the reference task ids.
+
+    ``pg_engine_url``: optional ``jdbc:`` URL standing in for the reference's
+    Postgres server (etl_elt_wine.py:242-243) — the ELT leg then writes/reads
+    through JDBC with in-database pushdown instead of the parquet stand-in.
+    The pipeline runs unchanged either way (tests cover both via embedded
+    Derby)."""
     p = {**DEFAULT_PARAMS, **(params or {})}
     duck_path = os.path.join(warehouse_dir, "wine_data")
-    pg_path = os.path.join(warehouse_dir, "wine_data_raw")
+    pg_path = pg_engine_url or os.path.join(warehouse_dir, "wine_data_raw")
     marker_dir = os.path.join(warehouse_dir, "_markers")
 
     pipe = Pipeline(name="ETL_ELT_wine", spark=spark, params=p, now=now)
@@ -127,8 +150,12 @@ def build_wine_etl_pipeline(
     def load_postgresql(pl: Pipeline, ctx):
         # ELT: raw, unfiltered frame replaces the table (etl_elt_wine.py:242-243)
         raw = ctx["extract_wine_data"]
-        replace_table(raw, pg_path)
-        n = spark.read.parquet(pg_path).count()
+        if pg_path.startswith("jdbc:"):
+            write_jdbc(raw, pg_path, "wine_data_raw", mode="overwrite")
+            n = read_jdbc(spark, pg_path, "wine_data_raw").count()
+        else:
+            replace_table(raw, pg_path)
+            n = spark.read.parquet(pg_path).count()
         write_commit_marker(marker_dir, "postgresql_dataset", {"row_count": n})
         return {"row_count": n}
 
@@ -175,12 +202,13 @@ def build_wine_downstream_pipeline(
     spark: SparkSession,
     warehouse_dir: str,
     now=dt.datetime.now,
+    pg_engine_url: str | None = None,
 ) -> Pipeline:
     """ETL_ELT_wine_downstream: triggered when BOTH sink markers exist
     (etl_elt_wine_downstream.py:42); weekday < 3 picks the Postgres-shaped
     source, else the DuckDB-shaped one (:96-101); charts quality×alcohol."""
     duck_path = os.path.join(warehouse_dir, "wine_data")
-    pg_path = os.path.join(warehouse_dir, "wine_data_raw")
+    pg_path = pg_engine_url or os.path.join(warehouse_dir, "wine_data_raw")
 
     pipe = Pipeline(name="ETL_ELT_wine_downstream", spark=spark, now=now)
 
@@ -192,6 +220,8 @@ def build_wine_downstream_pipeline(
         return {source, "chart_kde"}
 
     def extract_pg(pl: Pipeline, ctx):
+        if pg_path.startswith("jdbc:"):
+            return read_jdbc(spark, pg_path, "wine_data_raw", columns=('"quality"', '"alcohol"'))
         return spark.read.parquet(pg_path).select("quality", "alcohol")
 
     def extract_duck(pl: Pipeline, ctx):

@@ -129,3 +129,54 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     from airflow_etl_elt_spark import TABLES
 
     return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    predicate: str | None = None,
+    columns: tuple[str, ...] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    bounds: tuple[int, int] | None = None,
+    driver: str | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """External-DB scan with computation pushdown (SURVEY §2 row 3 — the
+    reference ships ``SELECT quality, alcohol FROM wine_data WHERE
+    total_sulfur_dioxide < 125`` INTO Postgres, etl_elt_wine.py:268-272).
+
+    Pushdown here is structural, not hopeful: ``predicate``/``columns`` are
+    folded into the dbtable subquery, so the DATABASE executes them and only
+    the result crosses the wire — exactly the reference's ELT contract.
+    (Spark's JDBCRelation also pushes planned filters/required columns, but
+    inlining makes the pushdown visible in the plan string and robust to
+    expressions JDBC pushdown rejects.)
+
+    Scale: a single JDBC cursor is ONE task no matter the cluster size —
+    pass ``partition_column`` + ``bounds`` to split the read into
+    ``num_partitions`` range-parallel cursors (the JDBC equivalent of file
+    splits). Without it, reads of big tables bottleneck on one connection.
+    """
+    proj = ", ".join(columns) if columns else "*"
+    sub = f"SELECT {proj} FROM {table}"
+    if predicate:
+        sub += f" WHERE {predicate}"
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", f"({sub}) AS spark_pushdown")
+    )
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column and bounds:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(bounds[0]))
+            .option("upperBound", str(bounds[1]))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

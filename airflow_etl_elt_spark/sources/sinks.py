@@ -154,3 +154,35 @@ def write_commit_marker(marker_dir: str, dataset: str, payload: dict | None = No
 
 def markers_ready(marker_dir: str, datasets: tuple[str, ...]) -> bool:
     return all(os.path.exists(os.path.join(marker_dir, f"{d}.json")) for d in datasets)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str | None = None,
+    batch_size: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """External-DB sink (`to_sql(..., if_exists="replace")` over ADBC in the
+    reference, etl_elt_wine.py:242-243 → ``mode="overwrite"`` here;
+    ``mode="append"`` for incremental loads).
+
+    Each Spark partition opens one connection and writes ``batch_size``-row
+    batches — so write parallelism == partition count. Repartition down
+    before calling if the target DB can't take N concurrent writers, up if
+    a single writer is the bottleneck.
+    """
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    if driver:
+        writer = writer.option("driver", driver)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
