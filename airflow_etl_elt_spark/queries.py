@@ -830,7 +830,9 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Multimodal plumbing (north star; decode stubbed — see operators/multimodal)
+# Multimodal (north star): documents rendered as REAL PPM images, features
+# extracted by PARSING the payloads (operators/multimodal.py; PPM/BMP decoded
+# natively, compressed formats are the documented codec boundary)
 # --------------------------------------------------------------------------
 
 

@@ -57,11 +57,16 @@ def _media(spark):
 
 
 def test_resize_media_output_contract(spark):
+    from airflow_etl_elt_spark.operators.multimodal import decode_ppm
+
     out = resize_media(_media(spark), target_w=8, target_h=4).collect()
     assert len(out) == 50
     for r in out:
         assert r["width"] == 8 and r["height"] == 4
-        assert r["n_bytes"] == len(r["payload"]) <= 32
+        assert r["n_bytes"] == len(r["payload"])
+        # the payload is a REAL PPM: decoding it yields the target raster
+        px = decode_ppm(bytes(r["payload"]))
+        assert px.shape == (4, 8, 3)
 
 
 def test_resize_media_deterministic(spark):
@@ -76,7 +81,45 @@ def test_frame_sample_bounds(spark):
     assert all(1 <= r["count"] <= 4 for r in per_doc)
 
 
-def test_extract_features_schema(spark):
+def test_extract_features_parses_real_headers(spark):
     feats = extract_media_features(_media(spark))
     assert feats.columns == ["media_id", "media_type", "width", "height", "n_bytes", "checksum"]
-    assert feats.count() == 50
+    rows = feats.collect()
+    assert len(rows) == 50
+    # decoded dims come from parsing the payload and must agree with the
+    # renderer's declared metadata
+    declared = {
+        r["media_id"]: (r["meta"]["declared_w"], r["meta"]["declared_h"])
+        for r in _media(spark).collect()
+    }
+    for r in rows:
+        assert (r["width"], r["height"]) == declared[r["media_id"]]
+
+
+def test_codec_roundtrip_and_sniffing():
+    import numpy as np
+    import pytest as _pytest
+
+    from airflow_etl_elt_spark.operators.multimodal import (
+        decode_bmp_dims,
+        decode_dims,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    px = (np.arange(5 * 7 * 3, dtype=np.uint8)).reshape(5, 7, 3)
+    payload = encode_ppm(px)
+    assert (decode_ppm(payload) == px).all()
+    assert decode_dims(payload) == (7, 5)
+
+    # minimal uncompressed BMP: 14-byte file header + BITMAPINFOHEADER
+    import struct
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 31, -17) + b"\x00" * 20
+    assert decode_bmp_dims(bmp) == (31, 17)
+    assert decode_dims(bmp) == (31, 17)
+
+    with _pytest.raises(NotImplementedError):
+        decode_dims(b"\x89PNG\r\n\x1a\n" + b"rest")
+    with _pytest.raises(ValueError):
+        decode_dims(b"garbage-bytes")
