@@ -368,3 +368,91 @@ def ngram_jaccard_verify(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (id, component),
+    component = the smallest node id in the component.
+
+    Alternating large-star / small-star (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond" — public algorithm), the
+    MapReduce-native CC that converges in O(log n) rounds:
+
+    - large-star: every node links its LARGER neighbors to the smallest node
+      of its neighborhood (incl. itself);
+    - small-star: every node links its smaller-or-equal neighbors (and
+      itself) to that minimum.
+
+    Each round is two groupBy-min aggregations + joins on ids only — no
+    vertex state table, no message passing framework; at 100 TB the edge
+    list is LSH candidate pairs (orders of magnitude smaller than the
+    corpus), and rounds shrink it monotonically toward the star graph.
+    Convergence is detected with an order-insensitive xxhash64 checksum of
+    the edge set (cheap aggregate, no exceptAll shuffle-compare).
+
+    This replaces the one-pass "transitive-lite" policy (r1) which could
+    split an adversarial chain A~B~C (A,C sharing no band) into two
+    components. Upgrade flagged in VERDICT r1 #7.
+    """
+    e = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_chk: tuple | None = None
+    for _ in range(max_iters):
+        # ---- large-star (on the symmetric neighborhood view)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+        mins = mins.select("u", F.least(F.col("__mn"), F.col("u")).alias("__m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star (on the canonical larger→smaller direction)
+        d = large.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        ).distinct()
+        mins2 = d.groupBy("u").agg(F.min("v").alias("__m"))
+        small = (
+            d.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .union(d.join(mins2, "u").select("u", F.col("__m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Iterative self-referencing plans double in size every round;
+        # localCheckpoint truncates the lineage so round N's plan does not
+        # embed rounds 1..N-1 (persist alone leaves the logical plan growing
+        # and Catalyst analysis goes exponential). Eager → one job per round.
+        # On a real cluster with lossy executors, swap for a reliable
+        # checkpoint dir (sc.setCheckpointDir + .checkpoint()).
+        e = small.localCheckpoint(eager=True)
+        chk_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor is order-insensitive and cannot overflow under ANSI
+            # mode (sum(xxhash64) can)
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        chk = (chk_row["n"], chk_row["h"])
+        if chk == prev_chk:
+            break
+        prev_chk = chk
+    # at convergence every non-minimum node points straight at its component
+    # minimum; minima (and any singleton callers ask about) map to themselves
+    comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return comp.unionByName(roots).distinct()

@@ -82,7 +82,12 @@ def lang_id(documents: DataFrame) -> DataFrame:
         ).alias(f"hits_{lang}")
         for lang, words in LANG_MARKERS.items()
     ]
-    scored = documents.select("doc_id", "lang", *counts)
+    # The labeled `lang` column exists on the canonical documents table; for
+    # unlabeled corpora (e.g. clean_corpus over arbitrary text) carry null.
+    labeled = (
+        F.col("lang") if "lang" in documents.columns else F.lit(None).cast("string")
+    )
+    scored = documents.select("doc_id", labeled.alias("lang"), *counts)
     # argmax via greatest-of-structs: (count, neg-ordinal) so ties prefer
     # earlier language in LANG_MARKERS order.
     langs = list(LANG_MARKERS)

@@ -36,12 +36,13 @@ def clean_corpus(
     """Full cleaning flow; returns the surviving documents with quality and
     language columns attached.
 
-    Near-dup policy: within each connected candidate pair (a, b) above the
-    threshold, the LARGER doc_id is dropped (min-id canonical, matching
-    exact_dedup) — one-pass transitive-lite policy (an id can only be
-    dropped, never promoted, so chains collapse toward the smallest id
-    without an iterative connected-components pass; the full CC variant is a
-    documented upgrade for adversarial near-dup graphs).
+    Near-dup policy: candidate pairs above the threshold are clustered with
+    TRUE connected components (alternating large-star/small-star over the
+    LSH pair graph — dedup.connected_components); each cluster keeps only
+    its smallest doc_id (min-id canonical, matching exact_dedup). Chains
+    A~B~C therefore collapse to one survivor even when A and C share no
+    LSH band — the adversarial case the r1 one-pass policy could split
+    (VERDICT r1 #7; property-tested in tests/test_corpus.py).
     """
     q = text.quality_score(documents).select("doc_id", "n_tokens", "punct_ratio")
     lang = text.lang_id(documents).select(
@@ -66,9 +67,13 @@ def clean_corpus(
     )
     exact_unique = scored.join(canon, "doc_id", "left_semi")
 
-    # near-dup removal: drop the higher id of every candidate pair
+    # near-dup removal: connected components over the candidate graph, keep
+    # each cluster's minimum id (every non-root node is dropped)
     pairs = dedup.minhash_lsh_pairs(exact_unique, threshold=near_dup_threshold)
-    drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    comps = dedup.connected_components(pairs)
+    drop_ids = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
     return exact_unique.join(drop_ids, "doc_id", "left_anti")
 
 

@@ -99,3 +99,91 @@ def test_idempotent_stream_ingestion(spark, tmp_path):
     stream_insert_ignore(read_events_stream(spark, src), sink, "event_id", ckpt)
     rows = spark.read.parquet(sink).collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+# --------------------------------------------------------------------------
+# Connected components (near-dup clustering upgrade, VERDICT r1 #7)
+# --------------------------------------------------------------------------
+
+
+def _cc(spark, edges):
+    from airflow_etl_elt_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+def test_cc_chain_collapses_to_one_component(spark):
+    # A~B, B~C, C~D — A and D share no direct edge (no common band), yet all
+    # must land in component A
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cc_separate_components_stay_separate(spark):
+    got = _cc(spark, [(1, 2), (10, 11), (11, 12), (20, 21)])
+    assert got[2] == 1 and got[11] == 10 and got[12] == 10 and got[21] == 20
+    comps = {got[k] for k in got}
+    assert comps == {1, 10, 20}
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [
+        (a, b)
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+        )
+        if a != b
+    ]
+    # reference: plain union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for n in nodes:
+        root = find(n)
+        if any(n in e for e in edges):  # CC only sees nodes with edges
+            expected[n] = root
+    got = _cc(spark, edges)
+    # canonical min-id per component must agree
+    exp_min = {}
+    for n, r in expected.items():
+        exp_min.setdefault(r, set()).add(n)
+    for r, members in exp_min.items():
+        assert {got[m] for m in members} == {min(members)}
+
+
+def test_clean_corpus_drops_whole_chain(spark):
+    """End-to-end: three near-identical docs where doc1~doc2 and doc2~doc3
+    band-match but the pipeline must keep exactly ONE of the chain."""
+    base = ("word%d " * 120) % tuple(range(120))
+    # successive small mutations: 1~2 similar, 2~3 similar, 1~3 less so
+    docs = [
+        (1, base),
+        (2, base.replace("word3 ", "wordX ")),
+        (3, base.replace("word3 ", "wordX ").replace("word90 ", "wordY ")),
+        (100, "totally different content " + ("tok%d " * 50) % tuple(range(50))),
+    ]
+    from airflow_etl_elt_spark.plans.corpus import clean_corpus
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = clean_corpus(df, min_tokens=5, keep_langs=("en",), near_dup_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 100 in kept
+    chain_kept = [d for d in kept if d in (1, 2, 3)]
+    assert chain_kept == [1], f"expected only doc 1 from the chain, got {kept}"
