@@ -18,8 +18,31 @@ cardinality group keys; at 100 TB with high-cardinality keys switch to
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Inputs whose Catalyst size estimate is below this buffer the whole group in
+# one exact-median aggregation state (F.median) — a single scan + shuffle.
+# Above it, the bracketed-selection algorithm keeps state O(n/accuracy).
+# 256 MiB of scan ≈ well under a reducer's working memory even if one group
+# holds every row.
+_MEDIAN_SMALL_BYTES = int(
+    os.environ.get("SPARK_GRAFT_MEDIAN_SMALL_BYTES", str(256 * 1024 * 1024))
+)
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan (bytes). This is the
+    same statistic the optimizer itself uses to pick broadcast joins —
+    file-size x column-fraction for parquet scans, so it is cheap (no job)
+    and conservative. Returns a huge sentinel when unavailable so callers
+    fall back to the scale-safe path."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
 
 
 def grouped_exact_median(
@@ -67,6 +90,14 @@ def grouped_exact_median(
     Returns (group_col, median_val).
     """
     vals = df.filter(F.col(value_col).isNotNull()).select(group_col, value_col)
+    # Cost-based strategy selection (same statistic Catalyst uses for
+    # broadcast decisions): small inputs take the one-shuffle F.median path —
+    # buffering a few hundred MB of one group in a single aggregation state
+    # is safe and saves the sketch pass's whole extra scan + collect.
+    if _plan_size_bytes(vals) < _MEDIAN_SMALL_BYTES:
+        return vals.groupBy(group_col).agg(
+            F.median(value_col).alias("median_val")
+        )
     delta = 2.0 / accuracy
     pre = (
         vals.groupBy(group_col)
@@ -165,15 +196,39 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """mean/median/std/min/max/count of ``value_col`` per ``group_col``,
     ordered by group desc (etl_elt_wine.py:426-428 restated).
 
-    The streaming-friendly stats (mean/std/min/max/count) partial-aggregate
+    Cost-based: below the size threshold everything (median included) fuses
+    into ONE declarative aggregation — one scan, one shuffle. Above it, the
+    streaming-friendly stats (mean/std/min/max/count) partial-aggregate
     map-side as usual, FUSED into the same scan as the median's sketch pass
     — one pass yields every per-group scalar plus the rank bracket (all
     mergeable aggregation states), collected as a #groups-row local
     relation. Only the median's bracketed selection pass (see
-    ``grouped_exact_median`` for the algorithm and why not ``F.median``)
-    touches the data again: 2 scans, no full-data shuffle.
+    ``grouped_exact_median`` for the algorithm and why not ``F.median`` at
+    scale) touches the data again: 2 scans, no full-data shuffle.
     """
     from pyspark.sql import types as T
+
+    # Small inputs (Catalyst size estimate, see grouped_exact_median): fuse
+    # EVERYTHING into one declarative aggregation — one scan, one shuffle,
+    # zero driver round-trips. F.median buffers each group's values in one
+    # aggregation state, which is exactly right when the whole input fits a
+    # few hundred MB; the bracketed two-pass form below is the 100 TB path.
+    if _plan_size_bytes(df.select(group_col, value_col)) < _MEDIAN_SMALL_BYTES:
+        return (
+            df.groupBy(group_col)
+            .agg(
+                F.avg(value_col).alias("mean_val"),
+                F.median(value_col).alias("median_val"),
+                F.stddev_samp(value_col).alias("std_val"),
+                F.min(value_col).alias("min_val"),
+                F.max(value_col).alias("max_val"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .select(
+                group_col, "mean_val", "median_val", "std_val", "min_val", "max_val", "cnt"
+            )
+            .orderBy(F.col(group_col).desc())
+        )
 
     accuracy = 1000
     delta = 2.0 / accuracy

