@@ -32,6 +32,8 @@ from pyspark.ml.feature import PolynomialExpansion, StandardScaler, VectorAssemb
 from pyspark.ml.regression import GBTRegressor, LinearRegression
 from pyspark.sql import DataFrame
 
+from airflow_etl_elt_spark.ml.tracking import TrackingClient
+
 
 def feature_target_split(df: DataFrame, target: str = "alcohol") -> tuple[DataFrame, DataFrame, list[str]]:
     """utils.py:39-79: numeric features minus id/quality/high_quality/target;
@@ -82,19 +84,52 @@ def train_wine_models(
     df: DataFrame,
     target: str = "alcohol",
     rng: random.Random | None = None,
+    tracker: "TrackingClient | None" = None,
+    experiment_name: str = "wine",
 ) -> list[dict[str, float]]:
     """Train the chosen models; return per-model train/test R²
-    (utils.py:224-233 semantics, rounded to 6 like np.round(r2, 6))."""
+    (utils.py:224-233 semantics, rounded to 6 like np.round(r2, 6)).
+
+    With ``tracker`` set, each model trains inside a tracked run and is
+    registered as ``wine-<name>`` — the reference's full MLflow round trip
+    (utils.py:180-250): experiment get-or-create, start_run, param/metric/tag
+    logging, register_model — and each result dict carries the same extra
+    keys the reference returns (experiment_id, model_uri, run_url, ...).
+    """
     train, test, feats = feature_target_split(df, target)
     evaluator = RegressionEvaluator(labelCol=target, predictionCol="prediction", metricName="r2")
-    out = []
+    exp = (
+        tracker.get_or_create_experiment(
+            experiment_name, tags={"version": "v1", "priority": "P1"}
+        )
+        if tracker is not None
+        else None
+    )
+    out: list[dict[str, float]] = []
     for spec in choose_models(model_specs(feats, target), rng or random.Random(42)):
         model = spec["pipeline"].fit(train)
-        out.append(
-            {
-                "name": spec["name"],
-                "r2_train": round(evaluator.evaluate(model.transform(train)), 6),
-                "r2_test": round(evaluator.evaluate(model.transform(test)), 6),
-            }
-        )
+        rec = {
+            "name": spec["name"],
+            "r2_train": round(evaluator.evaluate(model.transform(train)), 6),
+            "r2_test": round(evaluator.evaluate(model.transform(test)), 6),
+        }
+        if tracker is not None and exp is not None:
+            with tracker.start_run(exp.experiment_id) as run:
+                run.log_params({"model_name": spec["name"], "target": target, "n_features": len(feats)})
+                run.log_metrics({"r2_train": rec["r2_train"], "r2_test": rec["r2_test"]})
+                run.set_tag("Training Info", f"Basic {spec['name']} model for wine data.")
+                model_uri = f"runs:/{run.info.run_id}/model"
+                mv = tracker.register_model(model_uri, f"wine-{spec['name']}")
+                rec.update(
+                    {
+                        "experiment_id": exp.experiment_id,
+                        "experiment_name": experiment_name,
+                        "artifact_location": exp.artifact_location,
+                        "run_id": run.info.run_id,
+                        "model_uri": model_uri,
+                        "model_version": mv.version,
+                        "run_url": f"{tracker.root}/#/experiments/{exp.experiment_id}/runs/{run.info.run_id}",
+                    }
+                )
+        out.append(rec)
     return out

@@ -50,3 +50,25 @@ def test_train_linear_recovers_signal(wine_like):
     model = spec["pipeline"].fit(train)
     r2 = RegressionEvaluator(labelCol="alcohol", metricName="r2").evaluate(model.transform(test))
     assert r2 > 0.9  # linear data → ridge recovers it
+
+
+def test_train_with_tracking_registers_models(wine_like, tmp_path):
+    """Full reference round trip (utils.py:180-250): experiment get-or-create,
+    per-model run, param/metric/tag logging, registry version — via tracker."""
+    from airflow_etl_elt_spark.ml.regression import train_wine_models
+    from airflow_etl_elt_spark.ml.tracking import TrackingClient
+
+    tracker = TrackingClient(tmp_path / "mlruns")
+    # rng pinned so exactly one (cheap) model trains: ridge is always in specs
+    rng = random.Random(7)
+    out = train_wine_models(wine_like.limit(120), rng=rng, tracker=tracker)
+    assert out, "at least one model trained"
+    for rec in out:
+        assert {"experiment_id", "run_id", "model_uri", "model_version", "run_url"} <= rec.keys()
+        run = tracker.get_run(rec["run_id"])
+        assert run["metrics"]["r2_test"] == rec["r2_test"]
+        assert run["params"]["model_name"] == rec["name"]
+        mv = tracker.get_latest_version(f"wine-{rec['name']}")
+        assert mv is not None and mv.run_id == rec["run_id"]
+    exp = tracker.get_experiment_by_name("wine")
+    assert exp is not None and exp.tags == {"version": "v1", "priority": "P1"}
