@@ -117,8 +117,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        dtypes = dict(df.dtypes)
+        if dtypes.get("ts") == "bigint":
+            # Old fixtures: TIMESTAMP(NANOS) read as epoch-ns long; rebuild at
+            # µs precision with integer division (matches DuckDB's ns→µs cut).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Parquet timestamp[us] without isAdjustedToUTC reads as TIMESTAMP_NTZ
+        # in Spark 4, which unix_micros()/window() reject. The session TZ is
+        # pinned UTC (above), so NTZ → TIMESTAMP is the identity wall-clock
+        # mapping and the DuckDB oracle (naive timestamps) still agrees.
+        for c, t in dtypes.items():
+            if t == "timestamp_ntz":
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     _RELATION_CACHE[key] = df

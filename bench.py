@@ -91,12 +91,20 @@ def main() -> None:
     # number comparable to the baseline.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings = {key: float("inf") for key in HEADLINE}
+    errors: dict[str, str] = {}
     for _ in range(runs):
         for key in HEADLINE:
+            if key in errors:
+                continue
             t0 = time.perf_counter()
-            QUERIES[key](spark, sf_dir).toPandas()
+            try:
+                QUERIES[key](spark, sf_dir).toPandas()
+            except Exception as exc:  # one broken query must not void the bench
+                errors[key] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"bench query {key} failed: {exc}", file=sys.stderr)
+                continue
             timings[key] = min(timings[key], time.perf_counter() - t0)
-    timings = {k: round(v, 4) for k, v in timings.items()}
+    timings = {k: round(v, 4) for k, v in timings.items() if v != float("inf")}
     # Scheduling-floor calibration: the cheapest possible Spark job, timed
     # with the same discipline. Any query's time minus this floor is the
     # actual engine work; the floor itself is constant in SF (it would be
@@ -137,7 +145,7 @@ def main() -> None:
     except Exception as exc:  # the Spark numbers must survive a broken oracle
         print(f"duckdb baseline failed: {exc}", file=sys.stderr)
 
-    comparable = [k for k in HEADLINE if k in duck_timings]
+    comparable = [k for k in HEADLINE if k in duck_timings and k in timings]
     duck_total = round(sum(duck_timings[k] for k in comparable), 4)
     spark_comparable = round(sum(timings[k] for k in comparable), 4)
     out = {
@@ -156,6 +164,7 @@ def main() -> None:
             for k in comparable
             if duck_timings[k] > 0
         },
+        "errors": errors,
     }
     print(json.dumps(out))
     spark.stop()
