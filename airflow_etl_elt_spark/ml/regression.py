@@ -118,6 +118,8 @@ def train_wine_models(
                 run.log_params({"model_name": spec["name"], "target": target, "n_features": len(feats)})
                 run.log_metrics({"r2_train": rec["r2_train"], "r2_test": rec["r2_test"]})
                 run.set_tag("Training Info", f"Basic {spec['name']} model for wine data.")
+                # second tag + experiment_url: reference utils.py:238-250 parity
+                run.set_tag("wine_tag", f"Predict alcohol index with {spec['name']}")
                 model_uri = f"runs:/{run.info.run_id}/model"
                 mv = tracker.register_model(model_uri, f"wine-{spec['name']}")
                 rec.update(
@@ -129,6 +131,7 @@ def train_wine_models(
                         "model_uri": model_uri,
                         "model_version": mv.version,
                         "run_url": f"{tracker.root}/#/experiments/{exp.experiment_id}/runs/{run.info.run_id}",
+                        "experiment_url": f"{tracker.root}/#/experiments/{exp.experiment_id}",
                     }
                 )
         out.append(rec)

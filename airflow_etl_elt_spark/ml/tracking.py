@@ -123,8 +123,18 @@ class TrackingClient:
     def __init__(self, tracking_uri: str | Path):
         uri = str(tracking_uri)
         if uri.startswith("file:"):
-            uri = uri[len("file:") :].lstrip("/")
-            uri = "/" + uri if not uri.startswith("/") else uri
+            from urllib.parse import urlparse
+
+            parsed = urlparse(uri)
+            if parsed.netloc:  # file://host/path — remote hosts unsupported
+                raise ValueError(
+                    f"file: URI with a host is not supported: {uri!r} "
+                    "(use file:///absolute/path)"
+                )
+            # file:///abs/path → /abs/path; file:relative → ./relative
+            # (ADVICE r2: the old slash-stripping silently rerooted
+            # 'file:mlruns' to '/mlruns')
+            uri = parsed.path or "."
         self.root = Path(uri)
         (self.root / "experiments").mkdir(parents=True, exist_ok=True)
         (self.root / "registry").mkdir(parents=True, exist_ok=True)
@@ -238,6 +248,11 @@ class TrackingClient:
         }
 
     def _merge(self, run_id: str, bucket: str, key: str, value: Any) -> None:
+        # SINGLE-WRITER-PER-RUN contract (mirrors mlflow's file store): the
+        # atomic rename prevents torn READS, but concurrent writers to the
+        # same run can lose updates (read-modify-write race). Runs here are
+        # created and logged by one driver process; parallel model training
+        # logs to DISTINCT runs (ml/regression.py), so the contract holds.
         path = self._run_dir(run_id) / f"{bucket}.json"
         data = _read_json(path)
         data[key] = value
@@ -281,22 +296,33 @@ class TrackingClient:
         _atomic_write_json(versions_dir / str(version) / "meta.json", mv.__dict__)
         return mv
 
-    def get_latest_version(self, name: str) -> ModelVersion | None:
+    def _readable_versions(self, name: str) -> list[int]:
+        """Version numbers whose meta.json exists. A version dir is CLAIMED
+        by mkdir before its meta.json lands (register_model), so a concurrent
+        reader — or a crash between the two steps — can observe a meta-less
+        dir. Readers skip those (ADVICE r2); the claim loop still counts them
+        so an orphan never causes a number reuse or a retry livelock."""
         versions_dir = self.root / "registry" / name / "versions"
         if not versions_dir.exists():
-            return None
-        nums = sorted(int(p.name) for p in versions_dir.iterdir() if p.name.isdigit())
+            return []
+        return sorted(
+            int(p.name)
+            for p in versions_dir.iterdir()
+            if p.name.isdigit() and (p / "meta.json").exists()
+        )
+
+    def get_latest_version(self, name: str) -> ModelVersion | None:
+        nums = self._readable_versions(name)
         if not nums:
             return None
+        versions_dir = self.root / "registry" / name / "versions"
         return ModelVersion(**_read_json(versions_dir / str(nums[-1]) / "meta.json"))
 
     def search_model_versions(self, name: str) -> list[ModelVersion]:
         versions_dir = self.root / "registry" / name / "versions"
-        if not versions_dir.exists():
-            return []
         return [
             ModelVersion(**_read_json(versions_dir / str(v) / "meta.json"))
-            for v in sorted(int(p.name) for p in versions_dir.iterdir() if p.name.isdigit())
+            for v in self._readable_versions(name)
         ]
 
     # -- optional real-mlflow bridge --------------------------------------

@@ -113,3 +113,30 @@ def test_file_uri_prefix_accepted(tmp_path):
     exp_id = c.create_experiment("wine")
     meta = json.loads((tmp_path / "mlruns" / "experiments" / exp_id / "meta.json").read_text())
     assert meta["name"] == "wine"
+
+
+def test_file_uri_relative_not_rerooted(tmp_path, monkeypatch):
+    # ADVICE r2: 'file:mlruns' must resolve relative to cwd, not become '/mlruns'
+    monkeypatch.chdir(tmp_path)
+    c = TrackingClient("file:mlruns")
+    assert c.root.resolve() == (tmp_path / "mlruns").resolve()
+
+
+def test_file_uri_with_host_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="host"):
+        TrackingClient("file://somehost/path")
+
+
+def test_registry_readers_skip_orphan_version_dirs(client):
+    # a crash between mkdir (claim) and the meta.json write leaves an orphan;
+    # readers must skip it and the next writer must not reuse its number
+    client.register_model("models:/x", "wine-lr")
+    versions_dir = client.root / "registry" / "wine-lr" / "versions"
+    (versions_dir / "2").mkdir()  # orphan: claimed, no meta.json
+    assert client.get_latest_version("wine-lr").version == 1
+    assert [m.version for m in client.search_model_versions("wine-lr")] == [1]
+    mv = client.register_model("models:/x", "wine-lr")
+    assert mv.version == 3  # orphan's number is skipped, never reused
+    assert [m.version for m in client.search_model_versions("wine-lr")] == [1, 3]
