@@ -47,6 +47,20 @@ def test_q5_broadcasts_dims(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q6_pushes_all_range_predicates(spark):
+    plan = _formatted(QUERIES["tpch_q6"](spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed to parquet"
+
+
+def test_q10_topk_and_broadcast(spark):
+    plan = _plan(QUERIES["tpch_q10"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+    assert "BroadcastHashJoin" in plan  # nation dim broadcasts
+
+
 def test_topk_never_global_sorts(spark):
     # orderBy + limit must compile to TakeOrderedAndProject (per-partition
     # local top-k, driver merge) — a global Sort would shuffle everything.
