@@ -86,6 +86,34 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-file source for multimodal ingest: one row per file with
+    (path, modificationTime, length, content: binary) — the standard entry
+    point for image/audio/video corpora that arrive as loose files rather
+    than parquet (feeds operators/multimodal.py decode/resize stages).
+
+    Scale notes: ``pathGlobFilter`` prunes at LISTING time (non-matching
+    files are never opened); ``max_bytes`` guards executors against a rogue
+    multi-GB file inflating one task (each file is one row — a file must fit
+    in a task's memory, unlike splittable parquet). At 100 TB, prefer
+    ingesting binaries ONCE into parquet with a payload column (sinks) so
+    later passes get columnar pruning of the payload; this source is the
+    ingest edge, not the steady-state layout.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one of the driver's parquet tables (TESTDATA.md layout).
 

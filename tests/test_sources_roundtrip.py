@@ -71,3 +71,37 @@ def test_csv_roundtrip_reference_dialect(spark, tmp_path):
     s = back.agg(F.sum("o_totalprice")).first()[0]
     expect = src.agg(F.sum("o_totalprice")).first()[0]
     assert abs(s - expect) < 1e-6 * abs(expect)
+
+
+def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
+    """binaryFile ingest edge: loose image files on disk → (path, content)
+    rows → the native PPM decoder, with glob pruning and a size guard."""
+    import numpy as np
+
+    from airflow_etl_elt_spark.operators.multimodal import decode_dims, encode_ppm
+    from airflow_etl_elt_spark.sources.readers import read_binary_files
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    dims = {"a": (12, 7), "b": (30, 4), "c": (5, 25)}
+    for name, (w, h) in dims.items():
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        (media_dir / f"{name}.ppm").write_bytes(encode_ppm(px))
+    (media_dir / "ignore.txt").write_text("not an image")
+
+    df = read_binary_files(spark, str(media_dir), glob="*.ppm")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 3  # the .txt never matched the listing glob
+    for r in rows:
+        name = r["path"].rsplit("/", 1)[-1].removesuffix(".ppm")
+        assert decode_dims(bytes(r["content"])) == dims[name]
+        assert r["length"] == len(bytes(r["content"]))
+
+    # size guard drops the biggest file (w*h*3 + header)
+    biggest = max(dims.items(), key=lambda kv: kv[1][0] * kv[1][1])[0]
+    capped = read_binary_files(
+        spark, str(media_dir), glob="*.ppm",
+        max_bytes=max(r["length"] for r in rows) - 1,
+    )
+    kept = {r["path"].rsplit("/", 1)[-1].removesuffix(".ppm") for r in capped.collect()}
+    assert kept == set(dims) - {biggest}
