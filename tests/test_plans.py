@@ -76,6 +76,12 @@ def test_agg_is_partial_before_exchange(spark):
 
 ARROW_OK = {
     # Python is the intended execution vehicle for these (Arrow-batched):
+    # grouped_stats: exact grouped median is the one aggregate Spark's
+    # built-ins can't do efficiently (F.median = interpreted per-group
+    # buffers, measured ~1.5x slower than the NumPy quickselect group-apply
+    # at 600k rows and ~10x at 6M) — the small-input regime uses
+    # applyInPandas; the at-scale regime is pure JVM (bracketed selection).
+    "grouped_stats",
     "kde_per_group",
     "dedup_minhash",
     "dedup_simhash",
