@@ -132,15 +132,38 @@ def top_revenue_orders(
 ) -> DataFrame:
     """TPC-H Q3-shaped: revenue per order for one segment, top-k.
 
-    The segment filter prunes customer BEFORE the join (predicate pushdown),
-    shrinking the build side; orderBy+limit compiles to TakeOrderedAndProject —
-    each partition keeps only its local top-k, the driver merges k rows, so no
-    global sort materializes. Tie-broken by o_orderkey for determinism.
+    Join order is selectivity-first: the segment filter prunes customer, that
+    prunes orders (segment ≈ 1/|segments| of orders survive), and lineitem —
+    the biggest fact — is the STREAM side of the final join. Left to itself,
+    Catalyst picked the column-pruned LINEITEM as the build side whenever it
+    squeaked under the broadcast threshold (without CBO a join's size
+    estimate is the product of its children, so the orders⋈customer side
+    always *looks* bigger): a driver-side collect + hash build of the
+    largest table in the query, and exactly the side that stops fitting
+    first at real scale. So the broadcast decision is made HERE, cost-based,
+    from an honest bound Catalyst doesn't track: segment_orders is at most
+    the orders scan, so broadcast it iff that scan's size estimate fits the
+    session broadcast threshold. At 100 TB orders exceeds it and the join
+    degrades to the correct shuffle join (which AQE may still upgrade from
+    ACCURATE runtime sizes). orderBy+limit compiles to
+    TakeOrderedAndProject — each partition keeps its local top-k, the driver
+    merges k rows, no global sort materializes. Tie-broken by o_orderkey.
     """
-    return (
+    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+
+    segment_orders = (
         customer.filter(F.col("c_mktsegment") == segment)
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    threshold = int(
+        orders.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        .removesuffix("b")
+    )
+    if 0 < _plan_size_bytes(orders.select("o_orderkey", "o_orderdate")) < threshold:
+        segment_orders = F.broadcast(segment_orders)
+    return (
+        lineitem.join(segment_orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
