@@ -61,6 +61,20 @@ def test_q10_topk_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan  # nation dim broadcasts
 
 
+def test_q3_streams_lineitem_never_broadcasts_it(spark):
+    """Regression: without CBO, Catalyst's product-of-children join estimate
+    made the column-pruned lineitem scan the broadcast build side (driver
+    collect of the query's biggest table). The cost-based choice in
+    top_revenue_orders must keep lineitem on the stream side."""
+    df = QUERIES["tpch_q3"](spark, SF_SMOKE)
+    df.collect()  # let AQE finalize
+    final = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    for section in final.split("BroadcastExchange")[1:]:
+        scan_cols = section.split("FileScan parquet [", 1)
+        if len(scan_cols) > 1:
+            assert not scan_cols[1].startswith("l_"), "lineitem was broadcast"
+
+
 def test_topk_never_global_sorts(spark):
     # orderBy + limit must compile to TakeOrderedAndProject (per-partition
     # local top-k, driver merge) — a global Sort would shuffle everything.
