@@ -24,6 +24,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -117,6 +118,67 @@ def insert_ignore_by_name(
     finally:
         new_rows.unpersist()
     return n
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key: str = "id",
+    order_col: str | None = None,
+) -> tuple[int, int]:
+    """Keyed upsert — ``MERGE INTO`` semantics for a parquet target:
+    WHEN MATCHED the batch row replaces the stored row, WHEN NOT MATCHED it
+    inserts. The ELT complement of ``insert_ignore_by_name`` (which never
+    updates). Returns ``(n_updated, n_inserted)``.
+
+    - Columns match by NAME (batch projected to target order; missing
+      columns raise — same BY NAME contract as insert_ignore).
+    - Duplicate keys WITHIN the batch resolve deterministically: max
+      ``order_col`` wins (a recency column, e.g. an update timestamp);
+      without one, ``dropDuplicates`` keeps one arbitrary-but-deterministic
+      row.
+    - The rewrite goes to a temp dir then swaps in (a reader never observes
+      a half-written table; the swap itself mirrors insert_ignore's
+      single-writer contract).
+
+    Scale: an unpartitioned upsert rewrites the whole table — correct but
+    O(table). At 100 TB the target must be PARTITIONED so only partitions
+    containing touched keys rewrite (read side prunes via the key→partition
+    column; Spark's dynamic partition overwrite writes only those), or the
+    table lives in a format with transactional merge (Delta/Iceberg) where
+    this function's join shape maps 1:1 onto MERGE INTO.
+    """
+    import shutil
+    import uuid
+
+    if order_col is not None:
+        one_per_key = batch.groupBy(key).agg(
+            *[F.max_by(c, order_col).alias(c) for c in batch.columns if c != key]
+        ).select(*batch.columns)
+    else:
+        one_per_key = batch.dropDuplicates([key])
+
+    if not os.path.exists(path):
+        one_per_key.write.mode("overwrite").parquet(path)
+        return 0, one_per_key.count()
+
+    existing = spark.read.parquet(path)
+    missing = set(existing.columns) - set(batch.columns)
+    if missing:
+        raise ValueError(f"batch missing target columns: {sorted(missing)}")
+    aligned = one_per_key.select(*existing.columns)
+
+    n_batch = aligned.count()
+    n_updated = aligned.join(existing.select(key), on=key, how="left_semi").count()
+    kept = existing.join(aligned.select(key), on=key, how="left_anti")
+    merged = kept.unionByName(aligned)
+
+    tmp = f"{path}.__upsert_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return n_updated, n_batch - n_updated
 
 
 def write_bucketed(

@@ -95,3 +95,57 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
+
+
+def test_upsert_updates_matched_inserts_new(spark, tmp_path):
+    from airflow_etl_elt_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "u")
+    assert upsert_by_key(spark, _batch(spark, [(1, "a"), (2, "b")]), path) == (0, 2)
+    # 2 matched (updated, batch wins), 3 new (inserted)
+    assert upsert_by_key(spark, _batch(spark, [(2, "x"), (3, "c")]), path) == (1, 1)
+    data = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert data == {1: "a", 2: "x", 3: "c"}
+
+
+def test_upsert_is_idempotent(spark, tmp_path):
+    from airflow_etl_elt_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "u")
+    b = _batch(spark, [(1, "a"), (2, "b")])
+    upsert_by_key(spark, b, path)
+    assert upsert_by_key(spark, b, path) == (2, 0)  # all matched, no inserts
+    data = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert data == {1: "a", 2: "b"}
+
+
+def test_upsert_batch_dupes_resolve_by_recency(spark, tmp_path):
+    from airflow_etl_elt_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "u")
+    b = _batch(spark, [(1, "old", 10), (1, "new", 20), (2, "b", 5)], cols=("id", "v", "ts"))
+    assert upsert_by_key(spark, b, path, order_col="ts") == (0, 2)
+    data = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert data == {1: "new", 2: "b"}  # max-ts row won within the batch
+
+
+def test_upsert_column_names_matched_not_positions(spark, tmp_path):
+    from airflow_etl_elt_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "u")
+    upsert_by_key(spark, _batch(spark, [(1, "a")]), path)
+    # batch with swapped column ORDER must still line up by name
+    swapped = spark.createDataFrame([("z", 1)], ["v", "id"])
+    assert upsert_by_key(spark, swapped, path) == (1, 0)
+    assert {r["v"] for r in spark.read.parquet(path).collect()} == {"z"}
+
+
+def test_upsert_missing_column_rejected(spark, tmp_path):
+    import pytest
+
+    from airflow_etl_elt_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "u")
+    upsert_by_key(spark, _batch(spark, [(1, "a")]), path)
+    with pytest.raises(ValueError, match="missing target columns"):
+        upsert_by_key(spark, spark.createDataFrame([(3,)], ["id"]), path)
