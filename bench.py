@@ -25,6 +25,8 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5_local_revenue",
+    "tpch_q6",
+    "tpch_q10",
     "grouped_stats",
     "revenue_by_priority",
     "revenue_by_segment",
