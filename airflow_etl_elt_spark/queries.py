@@ -441,6 +441,24 @@ def q_pivot_priority_by_year(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_unpivot_part_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long unpivot (melt) of part's numeric measures — the inverse of
+    pivot. Spark's ``unpivot`` is a zero-shuffle narrow transform (each row
+    emits |measures| rows in place); the oracle is the portable UNION ALL
+    form so the semantics are pinned engine-neutrally."""
+    p = read_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids="p_partkey",
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
 def q_except_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Custkeys ordering in 1995 but not in 1996 (EXCEPT distinct)."""
     o = read_table(spark, sf, "orders")
@@ -1062,6 +1080,7 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
     "tpch_q22": q_tpch_q22,
+    "unpivot_part_measures": q_unpivot_part_measures,
     # --- fixed or reshaped in r3 (NTZ root cause; hard-signal outputs) ---
     "sessionize": q_sessionize,
     "range_join": q_range_join,
@@ -1644,6 +1663,11 @@ ORACLE_SQL: dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY n_name
+    """,
+    "unpivot_part_measures": """
+        SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value FROM part
     """,
     "exists_big_order": """
         SELECT c_custkey, c_name FROM customer c
