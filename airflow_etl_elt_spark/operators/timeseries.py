@@ -14,6 +14,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def sliding_hourly_agg(events: DataFrame, slide_minutes: int = 30) -> DataFrame:
+    """SLIDING 1-hour window (slide < width ⇒ overlapping windows): count +
+    sum(value) per window. Each event lands in width/slide windows —
+    ``window(ts, '1 hour', '<slide> minutes')`` expands that membership
+    JVM-side before the aggregation, so the shuffle carries one pre-expanded
+    row per (event, window), partial-aggregated map-side like any groupBy.
+    Same plan is legal under streaming with a watermark. Output keys on the
+    window start as epoch seconds (engine-portable; the oracle's UNION-ALL of
+    shifted tumbling bucketings computes the identical set), named
+    ``bucket_epoch`` so the unique key sorts BEFORE the float aggregates in a
+    name-ordered canonicalization — float near-ties must never decide row
+    order in the driver's hash compare.
+    """
+    w = F.window("ts", "60 minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("bucket_epoch"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def hourly_agg(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window × event_type: count + sum(value).
 

@@ -220,6 +220,11 @@ def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     return timeseries.hourly_agg(read_table(spark, sf, "events"))
 
 
+def q_sliding_window_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping 1h/30min sliding-window agg (operators/timeseries.py)."""
+    return timeseries.sliding_hourly_agg(read_table(spark, sf, "events"))
+
+
 def q_events_daily_user(spark: SparkSession, sf: str) -> DataFrame:
     return timeseries.daily_user_activity(read_table(spark, sf, "events"))
 
@@ -1081,6 +1086,7 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q19": q_tpch_q19,
     "tpch_q22": q_tpch_q22,
     "unpivot_part_measures": q_unpivot_part_measures,
+    "sliding_window_hourly": q_sliding_window_hourly,
     # --- fixed or reshaped in r3 (NTZ root cause; hard-signal outputs) ---
     "sessionize": q_sessionize,
     "range_join": q_range_join,
@@ -1668,6 +1674,19 @@ ORACLE_SQL: dict[str, str] = {
         SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
         UNION ALL
         SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value FROM part
+    """,
+    # each event is in exactly width/slide = 2 sliding windows: the ones
+    # starting at floor30(ts) and floor30(ts) - 30 min
+    "sliding_window_hourly": """
+        WITH cand AS (
+          SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS s0, value FROM events
+        ), membership AS (
+          SELECT s0 AS ws, value FROM cand
+          UNION ALL
+          SELECT s0 - 1800 AS ws, value FROM cand
+        )
+        SELECT ws AS bucket_epoch, count(*) AS n_events, sum(value) AS total_value
+        FROM membership GROUP BY ws
     """,
     "exists_big_order": """
         SELECT c_custkey, c_name FROM customer c
