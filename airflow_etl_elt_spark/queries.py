@@ -250,10 +250,21 @@ def q_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
-    """HLL++ sketch count — rows-only (sketch estimates are engine-specific)."""
-    return read_table(spark, sf, "events").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    """HLL++ sketch count, GATED against the exact count (the approx_quantiles
+    pattern): the row carries the EXACT distinct count (hash-checkable vs the
+    oracle) plus ``approx_ok`` — the sketch landed within 5x its configured
+    1% relative standard deviation. Sketch drift flips the boolean and fails
+    the driver hash; the sketch estimate itself stays engine-specific and is
+    never hashed."""
+    row = read_table(spark, sf, "events").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.01).alias("__approx"),
     )
+    ok = (
+        F.abs(F.col("__approx") - F.col("n_users_exact"))
+        <= 0.05 * F.col("n_users_exact")
+    )
+    return row.select("n_users_exact", ok.alias("approx_ok"))
 
 
 def q_union_nation_keys(spark: SparkSession, sf: str) -> DataFrame:
@@ -1087,6 +1098,7 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q22": q_tpch_q22,
     "unpivot_part_measures": q_unpivot_part_measures,
     "sliding_window_hourly": q_sliding_window_hourly,
+    "approx_distinct_users": q_approx_distinct_users,
     # --- fixed or reshaped in r3 (NTZ root cause; hard-signal outputs) ---
     "sessionize": q_sessionize,
     "range_join": q_range_join,
@@ -1163,7 +1175,6 @@ QUERIES: dict[str, QueryFn] = {
     "semi_join": q_semi_join,
     "histogram": q_histogram,
     "distinct_users": q_distinct_users,
-    "approx_distinct_users": q_approx_distinct_users,
     "union_nation_keys": q_union_nation_keys,
     "string_funcs": q_string_funcs,
     "orders_by_year": q_orders_by_year,
@@ -1369,6 +1380,11 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders GROUP BY bucket ORDER BY bucket
     """,
     "distinct_users": "SELECT count(DISTINCT user_id) AS n_users_exact FROM events",
+    # exact distinct + a sketch-within-5%-of-exact gate (approx_quantiles
+    # pattern): HLL drift hash-mismatches instead of recording no_oracle
+    "approx_distinct_users": (
+        "SELECT count(DISTINCT user_id) AS n_users_exact, TRUE AS approx_ok FROM events"
+    ),
     "union_nation_keys": """
         SELECT c_nationkey AS nationkey FROM customer
         UNION SELECT s_nationkey FROM supplier ORDER BY nationkey
@@ -1797,9 +1813,10 @@ ORACLE_SQL: dict[str, str] = {
 
 # Keys intentionally WITHOUT oracle SQL (driver records rows-only check):
 # sample_frac (seed semantics differ), kde_per_group (no SQL KDE),
-# approx_distinct_users (sketch), dedup_minhash / dedup_simhash /
-# ngram_jaccard / ann_lsh (xxhash64-based candidate generation has no DuckDB
-# twin), pack_sequences (sequential packing decision), ann_ivf / media_features
-# (approximate / decode — but both now expose driver-visible self-check
-# columns: in_exact_top50, dims_match).
+# dedup_minhash / dedup_simhash / ngram_jaccard / ann_lsh (xxhash64-based
+# candidate generation has no DuckDB twin), pack_sequences (sequential
+# packing decision), ann_ivf / media_features (approximate / decode — but
+# both expose driver-visible self-check columns: in_exact_top50, dims_match).
+# The sketch keys (approx_quantiles, approx_distinct_users) are NOT here:
+# they hash-check by emitting the exact value plus an approx-within-ε gate.
 ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLE_SQL))
