@@ -385,9 +385,25 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     Rows-only — approximate by construction; recall@10 vs the exact twin is
     asserted >= 0.8 in tests/test_recall.py (measured 0.9 at sf0.01).
     bits sizes buckets to the corpus (~2^bits buckets; 6 suits the
-    hundreds-to-thousands range of the test SFs — scale it with log2(n))."""
+    hundreds-to-thousands range of the test SFs — scale it with log2(n)).
+    Like ann_ivf, the output carries ``in_exact_top50`` — membership of each
+    approximate hit in the exact brute-force top-50 — so the driver row is a
+    readable recall signal, not an opaque 10 rows."""
     emb = read_table(spark, sf, "embeddings")
-    return similarity.ann_topk(emb, _query_vec(spark, sf), dim=64, k=10, bits=6)
+    qv = _query_vec(spark, sf)
+    approx = similarity.ann_topk(emb, qv, dim=64, k=10, bits=6)
+    exact50 = similarity.cosine_topk(emb, qv, k=50).select(
+        F.col("vec_id").alias("__exact_id")
+    )
+    return (
+        approx.join(F.broadcast(exact50), approx["vec_id"] == F.col("__exact_id"), "left")
+        .select(
+            "vec_id",
+            "cosine",
+            F.col("__exact_id").isNotNull().alias("in_exact_top50"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+    )
 
 
 def q_label_pairs_topk(spark: SparkSession, sf: str) -> DataFrame:
