@@ -26,6 +26,15 @@ from pyspark.sql import functions as F
 _RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def invalidate_relation(path: str) -> None:
+    """Drop any cached relation for ``path`` (all sessions). Sinks that
+    REWRITE a table in place (replace_table, upsert_by_key) must call this:
+    a cached DataFrame pins the old file listing, so post-rewrite reads
+    through the cache would hit deleted files or stale data."""
+    for key in [k for k in _RELATION_CACHE if k[1] == path]:
+        del _RELATION_CACHE[key]
+
+
 def normalize_columns(df: DataFrame) -> DataFrame:
     """Spaces → underscores in every column name (utils.py:32 parity)."""
     return df.toDF(*[c.replace(" ", "_") for c in df.columns])
