@@ -163,3 +163,34 @@ def test_dedup_stream_drops_duplicate_ids(spark, tmp_path):
         dedup_stream(read_events_stream(spark, src)), str(tmp_path / "ck"), mode="append"
     )
     assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """sliding_hourly_agg's plan is streaming-legal as claimed: the identical
+    transformation over a file-drop stream (with a watermark) produces the
+    batch result under availableNow catch-up."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_elt_spark.operators.timeseries import sliding_hourly_agg
+    from airflow_etl_elt_spark.streaming.windowed import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "events")
+    rows = [
+        (1, _ts(0, 5), 1, "click", 1.0, "{}"),
+        (2, _ts(0, 40), 1, "click", 2.0, "{}"),
+        (3, _ts(1, 10), 2, "view", 3.0, "{}"),
+        (4, _ts(1, 35), 2, "click", 4.0, "{}"),
+    ]
+    _write_event_drop(spark, src, rows)
+
+    stream = sliding_hourly_agg(
+        read_events_stream(spark, src).withWatermark("ts", "2 hours")
+    )
+    got = run_available_now(stream, str(tmp_path / "ckpt"), "slide_t")
+    batch = sliding_hourly_agg(spark.read.parquet(src)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    # each event in exactly 2 overlapping windows
+    assert sum(r["n_events"] for r in got) == 2 * len(rows)
