@@ -331,8 +331,36 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """Banded MinHash LSH near-dup pairs. Rows-only (hash family is
-    Spark-side xxhash64 — no DuckDB twin)."""
+    Spark-side xxhash64 — no DuckDB twin); recall gate in tests/test_recall.
+    The bench times THIS raw operator; ``dedup_minhash_verified`` is the
+    driver-facing hard-signal twin."""
     return dedup.minhash_lsh_pairs(read_table(spark, sf, "documents"), threshold=0.4)
+
+
+def q_dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash LSH pairs with a driver-visible self-check: ``est_close``
+    asserts the 64-hash agreement estimate landed within 0.3 (≈4.8σ at 64
+    hashes) of the EXACT 5-gram Jaccard recomputed from the texts — a broken
+    signature pipeline turns the estimates into noise and flips the column.
+    Rows-only, but the boolean makes the CORRECTNESS row a quality signal."""
+    from airflow_etl_elt_spark.operators._cache import rotate_persist
+
+    docs = read_table(spark, sf, "documents")
+    # persist the (small) pair set: it feeds BOTH the output and the verify
+    # join — without it Catalyst recomputes the whole band-join twice
+    pairs = rotate_persist("minhash_pairs", dedup.minhash_lsh_pairs(docs, threshold=0.4))
+    exact = dedup.ngram_jaccard_verify(docs, pairs, n=5, min_jaccard=0.0).select(
+        "id_a", "id_b", F.col("jaccard").alias("__exact_j")
+    )
+    return (
+        pairs.join(exact, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            (F.abs(F.col("est_jaccard") - F.col("__exact_j")) <= 0.3).alias("est_close"),
+        )
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -1115,6 +1143,7 @@ QUERIES: dict[str, QueryFn] = {
     "unpivot_part_measures": q_unpivot_part_measures,
     "sliding_window_hourly": q_sliding_window_hourly,
     "approx_distinct_users": q_approx_distinct_users,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
     # --- fixed or reshaped in r3 (NTZ root cause; hard-signal outputs) ---
     "sessionize": q_sessionize,
     "range_join": q_range_join,
