@@ -995,6 +995,41 @@ def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional trade volume between two nations by ship
+    year. Selectivity-first: supplier and customer are each pruned to the two
+    nations via a broadcast dim BEFORE touching a fact table (~2/|nations| of
+    rows survive), so both fact joins shrink by ~12x before the fact-fact
+    shuffle; the cross-pair disjunction (and same-nation exclusion) evaluates
+    on the tiny joined remainder."""
+    nations = ("NATION_1", "NATION_2")
+    n = read_table(spark, sf, "nation").filter(F.col("n_name").isin(*nations))
+    s = read_table(spark, sf, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("__sn"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("__sn"),
+    ).select("s_suppkey", "supp_nation")
+    c = read_table(spark, sf, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("__cn"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("__cn"),
+    ).select("c_custkey", "cust_nation")
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = read_table(spark, sf, "orders")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+    )
+
+
 def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item reporting. Scale shape: orders is
     date-pruned BEFORE the fact-fact join, nation broadcasts, and the top-20
@@ -1134,6 +1169,7 @@ def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES: dict[str, QueryFn] = {
     # --- NEW in r3: TPC-H-shaped join/agg/subquery additions ---
     "tpch_q6": q_tpch_q6,
+    "tpch_q7": q_tpch_q7,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
@@ -1673,6 +1709,19 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+    "tpch_q7": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               sum(l_extendedprice * (1 - l_discount)) AS volume
+        FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
     """,
     "tpch_q10": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
