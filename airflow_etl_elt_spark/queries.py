@@ -1030,6 +1030,58 @@ def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share inside a region's market for
+    one part type, by order year — the deepest join in the catalog (two fact
+    tables + four dims, nation joined twice). Every dim is broadcast and the
+    two most selective filters (p_type on part, region on the customer side)
+    prune their fact inputs before the single fact-fact shuffle; the share is
+    a conditional-sum ratio in ONE aggregation pass."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    p = read_table(spark, sf, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    # customer side: only customers in the target region survive
+    region_cust = (
+        read_table(spark, sf, "customer")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+                    F.col("n_nationkey").alias("__rn")
+                )
+            ),
+            F.col("c_nationkey") == F.col("__rn"),
+        )
+        .select("c_custkey")
+    )
+    # supplier side: keep every nation, tag with its name for the share CASE
+    sup = (
+        read_table(spark, sf, "supplier")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("__sn"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("__sn"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(region_cust), o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
 def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item reporting. Scale shape: orders is
     date-pruned BEFORE the fact-fact join, nation broadcasts, and the top-20
@@ -1170,6 +1222,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- NEW in r3: TPC-H-shaped join/agg/subquery additions ---
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
@@ -1722,6 +1775,23 @@ ORACLE_SQL: dict[str, str] = {
             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
           AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY 1, 2, 3
+    """,
+    "tpch_q8": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               sum(CASE WHEN n2.n_name = 'NATION_3'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+          AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
     """,
     "tpch_q10": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
