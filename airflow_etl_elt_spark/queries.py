@@ -1146,6 +1146,44 @@ def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts (orders
+    filtered by a join-side predicate, customers with zero orders kept by the
+    left outer join). Two aggregations, each a two-phase partial/final; the
+    second groups a #customers-row input so it's nearly free. Deterministic
+    order by (custdist, c_count) desc."""
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand —
+    correlated scalar subquery (per-part average quantity) decorrelated into
+    a per-part aggregate joined back. The per-part avg aggregates the FULL
+    lineitem (the correlation is over all parts' rows, per TPC-H semantics),
+    but only brand-filtered parts survive the join, and the avg side shuffles
+    (l_partkey, sum, count) partials — never raw rows twice."""
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("__half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(per_part_avg, li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__half_avg_qty"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
 def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18 shape: large-quantity orders (HAVING subquery as a
     semi-join). The grouped having-filter produces only qualifying orderkeys;
@@ -1224,6 +1262,8 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q10": q_tpch_q10,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q17": q_tpch_q17,
     "tpch_q14": q_tpch_q14,
     "tpch_q15": q_tpch_q15,
     "tpch_q18": q_tpch_q18,
@@ -1802,6 +1842,22 @@ ORACLE_SQL: dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "tpch_q13": """
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q17": """
+        SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
     """,
     "tpch_q14": """
         SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
