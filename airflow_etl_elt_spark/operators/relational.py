@@ -146,6 +146,37 @@ def deterministic_sample(
     return df.filter(bucket < percent)
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: "dict[str, int]",
+    key_col: str,
+    buckets: int = 100,
+    default_percent: int = 100,
+) -> DataFrame:
+    """Per-stratum deterministic downsampling — the corpus-rebalancing op of
+    an LLM data pipeline (downsample overrepresented languages/domains/
+    sources to target percentages, reproducibly).
+
+    Same content-hash mechanism as ``deterministic_sample`` (md5-bucket of
+    the key), with a per-stratum threshold: rows in stratum s keep
+    ``rates[s]`` percent; strata not listed keep ``default_percent``. The
+    kept SET is a pure function of the data — stable across engines,
+    re-runs, and partitionings — so rebalancing experiments are replayable
+    and the op is exactly oracle-checkable. One codegen'd hash + CASE per
+    row, no shuffle, evaluates at scan time.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+    thresh = F.lit(default_percent)
+    for stratum, pct in sorted(rates.items()):
+        thresh = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
 def distinct_sorted(df: DataFrame, col: str, ascending: bool = False) -> DataFrame:
     """Ordered distinct values (utils.py:263). Partial (map-side) distinct
     happens before the shuffle; the sort is on the already-tiny result."""

@@ -898,6 +898,17 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language deterministic downsampling of the documents corpus
+    (rebalance: keep 25% of overrepresented 'en', 60% of 'zh', all the
+    rest) — the LLM-corpus rebalancing op, exactly oracle-checkable because
+    the kept set is a pure function of the data (md5-bucket, no RNG)."""
+    docs = read_table(spark, sf, "documents")
+    return relational.stratified_sample(
+        docs, "lang", {"en": 25, "zh": 60}, key_col="doc_id"
+    ).select("doc_id", "lang")
+
+
 def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Content-hash 10% sample of orders — reproducible sampling with an
     exact oracle (unlike seeded Bernoulli, SURVEY §7 hazard 1)."""
@@ -1273,6 +1284,7 @@ QUERIES: dict[str, QueryFn] = {
     "sliding_window_hourly": q_sliding_window_hourly,
     "approx_distinct_users": q_approx_distinct_users,
     "dedup_minhash_verified": q_dedup_minhash_verified,
+    "stratified_sample": q_stratified_sample,
     # --- fixed or reshaped in r3 (NTZ root cause; hard-signal outputs) ---
     "sessionize": q_sessionize,
     "range_join": q_range_join,
@@ -1966,6 +1978,11 @@ ORACLE_SQL: dict[str, str] = {
                array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
                count(*) AS cnt
         FROM orders GROUP BY o_orderpriority
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+              < CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 60 ELSE 100 END
     """,
     "deterministic_sample": """
         SELECT o_orderkey, o_totalprice FROM orders

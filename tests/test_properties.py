@@ -85,3 +85,30 @@ def test_dedup_keep_first_keeps_min_order_row(spark, batch):
     for k, v in batch:
         expect[k] = min(expect.get(k, v), v)
     assert out == expect
+
+
+def test_stratified_sample_invariants(spark):
+    """Kept set ⊆ source, per-stratum rates within binomial tolerance,
+    unlisted strata keep everything, and the selection is stable across
+    repartitionings (pure function of the data, not of the layout)."""
+    from airflow_etl_elt_spark.operators.relational import stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else ("zh" if i % 3 == 1 else "fr")) for i in range(900)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {"en": 20, "zh": 50}
+    kept = stratified_sample(df, "lang", rates, key_col="doc_id")
+    got = {(r["doc_id"], r["lang"]) for r in kept.collect()}
+    assert got <= set(rows)
+
+    per = {}
+    for _, lang in got:
+        per[lang] = per.get(lang, 0) + 1
+    assert per["fr"] == 300  # unlisted stratum fully kept
+    assert 30 <= per["en"] <= 90  # 20% of 300 ± binomial noise
+    assert 110 <= per["zh"] <= 190  # 50% of 300 ± binomial noise
+
+    again = {
+        (r["doc_id"], r["lang"])
+        for r in stratified_sample(df.repartition(7), "lang", rates, key_col="doc_id").collect()
+    }
+    assert again == got  # layout-independent selection
