@@ -101,6 +101,54 @@ def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that shares
+    at least one word n-gram with the eval/benchmark set (the GPT-3-style
+    13-gram rule, Brown et al. 2020 §C — n is a parameter; implemented from
+    the published description).
+
+    Scale shape: both sides explode to (id, gram-digest) — the shuffle
+    carries a 60-bit digest (``conv(substr(md5,1,15),16,10)``), never the
+    n-gram string, same policy as :func:`exact_dedup` (a digest collision
+    can only FALSE-POSITIVE a doc into removal; pipelines that can't accept
+    ~n²/2⁶¹ of that re-verify flagged docs against raw grams). Eval grams
+    are distinct-ed before the join (eval sets are tiny vs the corpus, so
+    the semi-join build side is small — typically broadcast), contaminated
+    ids come from one semi-join + distinct, and survivors via anti-join.
+    No window, no all-pairs, O(corpus grams) end to end.
+    """
+    from airflow_etl_elt_spark.operators.text import word_ngrams
+
+    def gram_digests(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col),
+                F.explode(word_ngrams(F.col(text_col), n)).alias("__gram"),
+            )
+            .select(
+                id_col,
+                F.conv(F.substring(F.md5("__gram"), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("__digest"),
+            )
+        )
+
+    eval_grams = gram_digests(eval_docs).select("__digest").distinct()
+    contaminated = (
+        gram_digests(corpus)
+        .join(eval_grams, "__digest", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def dedup_keep_first(documents: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """Keep the min-``order_col`` row per key — deterministic dropDuplicates.
 

@@ -177,6 +177,35 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def group_cap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically — the
+    per-domain/per-source cap of a crawl-ingestion pipeline (no single
+    domain may dominate the corpus).
+
+    Selection ranks rows inside each group by ``md5(key)`` (then key as
+    tie-break): a pure function of the data, so the kept set is stable
+    across engines, re-runs, and partitionings, and is an UNBIASED pseudo-
+    random cap rather than "whatever ``limit`` returns". One shuffle on the
+    group column + a bounded window. Skew note: a mega-group (one domain =
+    10% of the corpus) funnels through one task; at that scale pre-thin with
+    ``stratified_sample`` on the skewed groups (cheap scan-side filter) so
+    the window only ranks survivors.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), key_col
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def distinct_sorted(df: DataFrame, col: str, ascending: bool = False) -> DataFrame:
     """Ordered distinct values (utils.py:263). Partial (map-side) distinct
     happens before the shuffle; the sort is on the already-tiny result."""

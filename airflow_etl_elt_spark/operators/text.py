@@ -104,6 +104,47 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def word_ngrams(text_col, n: int):
+    """Array of whitespace-word n-grams (space-joined), as a pure column
+    expression: split → transform(sequence) over sliding windows. Stays in
+    whole-stage codegen; no explode, no UDF, no shuffle.
+
+    Guarded for short texts: fewer than ``n`` tokens yields an empty array
+    (``sequence(1, size-n+1)`` would otherwise DESCEND when size < n —
+    Spark's sequence generates backwards for start > stop).
+    """
+    toks = F.split(F.trim(text_col), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Within-document repetition: fraction of word n-grams that are
+    duplicates of an earlier n-gram in the same document — the Gopher-style
+    'repeated n-gram' quality filter (Rae et al. 2021 §A1.1 describe the
+    rule family; implemented from the description).
+
+    Entirely per-row (``array_distinct`` on the gram array): no shuffle, no
+    explode, linear scan — the cheapest possible shape at 100 TB. The ratio
+    is (total - distinct) / total as a double; integer inputs + one IEEE
+    division are bit-deterministic across engines, so the op is exactly
+    oracle-checkable.
+    """
+    grams = word_ngrams(F.col("text"), n)
+    out = documents.select(
+        "doc_id",
+        F.size(grams).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+    )
+    return out.withColumn(
+        "dup_ratio",
+        F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+            (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams")
+        ),
+    )
+
+
 # GPT-2-style pretokenizer shape (contractions | words | numbers | other
 # runs), restricted to ASCII classes so Java regex (Spark) and RE2 (DuckDB
 # oracle) agree on every boundary. Public-knowledge pattern family

@@ -909,6 +909,34 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicate-3-gram ratio (Gopher-style repetition quality
+    rule) — per-row array ops only, no shuffle, exactly oracle-checkable."""
+    docs = read_table(spark, sf, "documents")
+    return text.repetition_score(docs, n=3)
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word-4-gram with the
+    eval split (doc_id % 10 == 0, a deterministic stand-in for a benchmark
+    table) are dropped. Digest-join plan — the shuffle never carries gram
+    strings. n=4 (not the production 8-13) so the synthetic corpus yields
+    real contamination: at sf0.01, 75 of 450 train docs are caught."""
+    docs = read_table(spark, sf, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.decontaminate(train, eval_docs, n=4).select("doc_id", "source")
+
+
+def q_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source deterministic cap (≤50 docs per source, hash-ranked) —
+    the 'no domain dominates the crawl' ingestion op."""
+    docs = read_table(spark, sf, "documents")
+    return relational.group_cap(docs, "source", "doc_id", 50).select(
+        "doc_id", "source"
+    )
+
+
 def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Content-hash 10% sample of orders — reproducible sampling with an
     exact oracle (unlike seeded Bernoulli, SURVEY §7 hazard 1)."""
@@ -1285,6 +1313,9 @@ QUERIES: dict[str, QueryFn] = {
     "approx_distinct_users": q_approx_distinct_users,
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "stratified_sample": q_stratified_sample,
+    "repetition_score": q_repetition_score,
+    "decontaminate": q_decontaminate,
+    "source_cap": q_source_cap,
     # --- fixed or reshaped in r3 (NTZ root cause; hard-signal outputs) ---
     "sessionize": q_sessionize,
     "range_join": q_range_join,
@@ -1983,6 +2014,46 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, lang FROM documents
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
               < CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 60 ELSE 100 END
+    """,
+    "repetition_score": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, greatest(0, len(t) - 2)),
+                                i -> array_to_string(t[i : i + 2], ' ')) AS grams
+          FROM toks)
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+               CASE WHEN len(grams) = 0 THEN 0.0
+                    ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                         / len(grams) END AS dup_ratio
+        FROM g
+    """,
+    "decontaminate": r"""
+        WITH toks AS (
+          SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(
+                   unnest(list_transform(generate_series(1, greatest(0, len(t) - 3)),
+                                         i -> array_to_string(t[i : i + 3], ' ')))
+                 ), 1, 15)) AS BIGINT) AS digest
+          FROM toks),
+        ev AS (SELECT DISTINCT digest FROM g WHERE doc_id % 10 = 0),
+        bad AS (SELECT DISTINCT doc_id FROM g
+                WHERE doc_id % 10 <> 0 AND digest IN (SELECT digest FROM ev))
+        SELECT doc_id, source FROM documents
+        WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    "source_cap": """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents) WHERE rn <= 50
     """,
     "deterministic_sample": """
         SELECT o_orderkey, o_totalprice FROM orders

@@ -187,3 +187,66 @@ def test_clean_corpus_drops_whole_chain(spark):
     assert 100 in kept
     chain_kept = [d for d in kept if d in (1, 2, 3)]
     assert chain_kept == [1], f"expected only doc 1 from the chain, got {kept}"
+
+
+def test_repetition_score_counts_duplicate_ngrams(spark):
+    from airflow_etl_elt_spark.operators.text import repetition_score
+
+    rows = [
+        (1, "a b c a b c a b c"),   # 3-grams: 7 total; distinct: {abc,bca,cab} = 3
+        (2, "one two three four"),  # 2 grams, both distinct
+        (3, "x y"),                 # shorter than n → 0 grams
+        (4, ""),                    # blank → 0 grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in repetition_score(df, n=3).collect()}
+    assert (got[1]["n_grams"], got[1]["n_distinct"]) == (7, 3)
+    assert got[1]["dup_ratio"] == (7 - 3) / 7
+    assert (got[2]["n_grams"], got[2]["n_distinct"], got[2]["dup_ratio"]) == (2, 2, 0.0)
+    assert got[3]["n_grams"] == 0 and got[3]["dup_ratio"] == 0.0
+    assert got[4]["n_grams"] == 0 and got[4]["dup_ratio"] == 0.0
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from airflow_etl_elt_spark.operators.dedup import decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "he said the quick brown fox appeared at dawn"),  # shares 4-gram
+            (2, "completely unrelated text about spark partitions"),
+            (3, "quick brown fox jumps high"),                    # shares 4-gram
+            (4, "the quick brown wolf is not a fox"),             # no shared 4-gram
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(r["doc_id"] for r in decontaminate(corpus, eval_docs, n=4).collect())
+    assert kept == [2, 4]
+    # n larger than any overlap keeps everything
+    kept_all = sorted(r["doc_id"] for r in decontaminate(corpus, eval_docs, n=6).collect())
+    assert kept_all == [1, 2, 3, 4]
+
+
+def test_group_cap_invariants(spark):
+    from airflow_etl_elt_spark.operators.relational import group_cap
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    capped = group_cap(df, "source", "doc_id", 10)
+    got = {(r["doc_id"], r["source"]) for r in capped.collect()}
+    assert got <= set(rows)
+    per = {}
+    for _, s in got:
+        per[s] = per.get(s, 0) + 1
+    assert per == {"s0": 10, "s1": 10, "s2": 10}  # every group hits the cap exactly
+    # layout-independent selection
+    again = {
+        (r["doc_id"], r["source"])
+        for r in group_cap(df.repartition(7), "source", "doc_id", 10).collect()
+    }
+    assert again == got
+    # cap larger than group size keeps everything
+    assert group_cap(df, "source", "doc_id", 100).count() == 90
