@@ -310,6 +310,44 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
+def modal_value(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Deterministic mode: the most frequent ``value_col`` per group, ties
+    broken by the smallest value.
+
+    Two cascaded hash aggregations — count per (group, value), then
+    ``min_by`` over a (-count, value) sort key — both with map-side partial
+    aggregation, no window. The window formulation (row_number over count
+    DESC) sorts every group's candidate set; this one reduces it. ``min_by``
+    on a struct gives max-count-then-min-value in one pass: struct ordering
+    is field-by-field, and negating the count turns "max count" into "min
+    -count". Output columns are exact (bigint/string), so the op is exactly
+    oracle-checkable.
+    """
+    counts = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    return counts.groupBy(group_col).agg(
+        F.min_by(
+            value_col, F.struct((-F.col("__cnt")).alias("nc"), F.col(value_col).alias("v"))
+        ).alias(f"modal_{value_col}"),
+        F.max("__cnt").alias("cnt"),
+    )
+
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float, nbuckets: int) -> DataFrame:
+    """Fixed-width histogram via ``width_bucket`` — the data-profiling
+    primitive. One codegen'd bucket expression + one tiny agg (≤ nbuckets+2
+    groups, map-side combined): a full-column histogram at 100 TB costs one
+    scan and shuffles only nbuckets rows per task."""
+    return (
+        df.groupBy(
+            F.width_bucket(F.col(col), F.lit(lo), F.lit(hi), F.lit(nbuckets))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
 def count_by_group(df: DataFrame, group_col: str) -> DataFrame:
     """``SELECT g, COUNT(*) GROUP BY g ORDER BY g`` (README.md:95-105)."""
     return df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt")).orderBy(group_col)

@@ -937,6 +937,40 @@ def q_source_cap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_salted_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-mitigated twin of ``revenue_by_segment``: the orders→customer
+    join goes through ``salted_join`` (hot keys spread over 8 reducers, dim
+    replicated 8x). The salt is internal — the result is EXACTLY the plain
+    join's, so the driver hash-checks the skew technique against the
+    unsalted oracle SQL."""
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    return (
+        joins.salted_join(o, c, "o_custkey", "c_custkey", salt=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("o_totalprice").alias("total_price"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_mode_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user modal event type (deterministic mode, smallest-value
+    tie-break) — two cascaded aggs, no window; the oracle states the same
+    semantics as a row_number window."""
+    ev = read_table(spark, sf, "events")
+    return aggregates.modal_value(ev, "user_id", "event_type")
+
+
+def q_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """60-bucket fixed-width histogram of order totals (width_bucket
+    profiling op; one scan, ≤62 output rows)."""
+    o = read_table(spark, sf, "orders")
+    return aggregates.histogram(o, "o_totalprice", 0.0, 600000.0, 60)
+
+
 def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Content-hash 10% sample of orders — reproducible sampling with an
     exact oracle (unlike seeded Bernoulli, SURVEY §7 hazard 1)."""
@@ -1316,6 +1350,9 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_score": q_repetition_score,
     "decontaminate": q_decontaminate,
     "source_cap": q_source_cap,
+    "salted_revenue_by_segment": q_salted_revenue_by_segment,
+    "mode_event_type": q_mode_event_type,
+    "price_histogram": q_price_histogram,
     # --- fixed or reshaped in r3 (NTZ root cause; hard-signal outputs) ---
     "sessionize": q_sessionize,
     "range_join": q_range_join,
@@ -2014,6 +2051,30 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, lang FROM documents
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
               < CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 60 ELSE 100 END
+    """,
+    "salted_revenue_by_segment": """
+        SELECT c_mktsegment,
+               sum(o_totalprice) AS total_price,
+               count(*) AS order_cnt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "mode_event_type": """
+        SELECT user_id, event_type AS modal_event_type, cnt FROM (
+          SELECT user_id, event_type, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY count(*) DESC, event_type) AS rn
+          FROM events GROUP BY user_id, event_type) WHERE rn = 1
+    """,
+    "price_histogram": """
+        -- width_bucket(x, 0, 600000, 60) spelled arithmetically (DuckDB has
+        -- no width_bucket): bucket 0 below range, 61 at/above the upper
+        -- bound, else 1 + floor(x / 10000)
+        SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                         WHEN o_totalprice >= 600000.0 THEN 61
+                         ELSE 1 + floor(o_totalprice / 10000.0) END AS BIGINT) AS bucket,
+               count(*) AS cnt
+        FROM orders GROUP BY bucket ORDER BY bucket
     """,
     "repetition_score": r"""
         WITH toks AS (

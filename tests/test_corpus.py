@@ -250,3 +250,14 @@ def test_group_cap_invariants(spark):
     assert again == got
     # cap larger than group size keeps everything
     assert group_cap(df, "source", "doc_id", 100).count() == 90
+
+
+def test_modal_value_tie_breaks_to_smallest(spark):
+    from airflow_etl_elt_spark.operators.aggregates import modal_value
+
+    rows = [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c"),  # tie a/b → a
+            (2, "z"), (2, "z"), (2, "y")]                      # clear winner z
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string")
+    got = {r["user_id"]: (r["modal_event_type"], r["cnt"])
+           for r in modal_value(df, "user_id", "event_type").collect()}
+    assert got == {1: ("a", 2), 2: ("z", 2)}
