@@ -120,3 +120,40 @@ def test_no_rowwise_python_in_relational_plans(spark, key):
     if key not in ARROW_OK:
         for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             assert marker not in plan, f"{key} unexpectedly uses {marker}"
+
+
+def test_repetition_score_has_no_exchange(spark):
+    # Per-row array ops only: a shuffle anywhere means the gram computation
+    # stopped being scan-local and the op would not scale linearly.
+    plan = _plan(QUERIES["repetition_score"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_source_cap_single_shuffle(spark):
+    # One hash exchange on the group column feeding the bounded window —
+    # a second exchange would mean the rank is recomputed post-shuffle.
+    plan = _plan(QUERIES["source_cap"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_decontaminate_no_cartesian(spark):
+    # Gram digests must equi-join; a nested-loop/cartesian fallback would be
+    # O(corpus x eval) and unrunnable at scale.
+    plan = _plan(QUERIES["decontaminate"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mode_uses_two_phase_agg_not_window(spark):
+    # Distributed mode = two cascaded hash aggregations with map-side
+    # partials; the window formulation would sort every group's candidates.
+    plan = _plan(QUERIES["mode_event_type"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "partial_count" in plan
+
+
+def test_salted_join_result_plan_no_cartesian(spark):
+    plan = _plan(QUERIES["salted_revenue_by_segment"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
