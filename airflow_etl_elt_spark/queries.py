@@ -545,6 +545,27 @@ def q_quantiles_price(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_grouped_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-segment price quartiles + p95 — the 'p95 latency per service'
+    shape. Exact grouped percentiles (one shuffle on the 5-group key,
+    per-group buffering bounded by group cardinality); interpolation parity
+    with DuckDB's quantile_cont is proven by the global `quantiles_price`
+    key, this is the grouped form."""
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile("o_totalprice", 0.25).alias("p25"),
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.75).alias("p75"),
+            F.percentile("o_totalprice", 0.95).alias("p95"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Greenwald-Khanna approximate quartiles — the 100 TB path (mergeable
     sketch, no per-group value buffering) — GATED against the exact values.
@@ -1351,6 +1372,7 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate": q_decontaminate,
     "source_cap": q_source_cap,
     "salted_revenue_by_segment": q_salted_revenue_by_segment,
+    "grouped_quantiles": q_grouped_quantiles,
     "mode_event_type": q_mode_event_type,
     "price_histogram": q_price_histogram,
     # --- fixed or reshaped in r3 (NTZ root cause; hard-signal outputs) ---
@@ -2056,6 +2078,15 @@ ORACLE_SQL: dict[str, str] = {
         SELECT c_mktsegment,
                sum(o_totalprice) AS total_price,
                count(*) AS order_cnt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "grouped_quantiles": """
+        SELECT c_mktsegment,
+               quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.5)  AS p50,
+               quantile_cont(o_totalprice, 0.75) AS p75,
+               quantile_cont(o_totalprice, 0.95) AS p95
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
