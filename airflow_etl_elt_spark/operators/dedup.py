@@ -123,20 +123,38 @@ def decontaminate(
     ids come from one semi-join + distinct, and survivors via anti-join.
     No window, no all-pairs, O(corpus grams) end to end.
     """
-    from airflow_etl_elt_spark.operators.text import word_ngrams
-
     def gram_digests(df: DataFrame) -> DataFrame:
-        return (
-            df.select(
-                F.col(id_col),
-                F.explode(word_ngrams(F.col(text_col), n)).alias("__gram"),
+        # Explode the INDEX sequence, not the gram array: if the generator's
+        # input is the materialized gram array, InferFiltersFromGenerate
+        # synthesizes a size(grams)>0 filter and predicate pushdown inlines
+        # the whole gram pipeline (split per transform element — O(T²) regex
+        # work) into the scan filter, which measured ~10x the cost of the
+        # grams themselves. With an index generator the inferred filter only
+        # wraps sequence(), and each gram is built once per output row from
+        # the bound token column.
+        tokd = df.select(
+            F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
+        ).filter(F.size("__toks") >= n)
+        idx = tokd.select(
+            id_col,
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1))
+            ).alias("__i"),
+        )
+        return idx.select(
+            id_col,
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("__toks", F.col("__i"), n), " ")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
             )
-            .select(
-                id_col,
-                F.conv(F.substring(F.md5("__gram"), 1, 15), 16, 10)
-                .cast("bigint")
-                .alias("__digest"),
-            )
+            .cast("bigint")
+            .alias("__digest"),
         )
 
     eval_grams = gram_digests(eval_docs).select("__digest").distinct()

@@ -104,19 +104,39 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def word_ngrams(text_col, n: int):
-    """Array of whitespace-word n-grams (space-joined), as a pure column
-    expression: split → transform(sequence) over sliding windows. Stays in
-    whole-stage codegen; no explode, no UDF, no shuffle.
+def _ngrams_of(toks, n: int):
+    """Sliding word n-grams (space-joined) from a BOUND token-array column.
+
+    ``toks`` must be a reference to a materialized column, never an inline
+    ``split(...)`` expression: the transform lambda dereferences ``toks``
+    per element, and codegen re-evaluates a non-trivial child expression at
+    every reference — an inline split turns O(T) gram-building into O(T²)
+    regex work (measured 15x on the sf0.1 documents table; see
+    ``with_word_ngrams``).
 
     Guarded for short texts: fewer than ``n`` tokens yields an empty array
     (``sequence(1, size-n+1)`` would otherwise DESCEND when size < n —
     Spark's sequence generates backwards for start > stop).
     """
-    toks = F.split(F.trim(text_col), r"\s+")
     idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def with_word_ngrams(
+    df: DataFrame, text_col: str, n: int, out_col: str
+) -> DataFrame:
+    """Append a word-n-gram array column, with the tokenization MATERIALIZED
+    through a projection boundary so the split runs once per row.
+
+    Two projections on purpose: tokens first, grams from the bound token
+    column second. Catalyst's CollapseProject declines to inline a column
+    that a higher-order function dereferences repeatedly, so this shape
+    keeps the regex split O(T) per document. Still codegen'd, no UDF, no
+    shuffle.
+    """
+    tokd = df.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    return tokd.withColumn(out_col, _ngrams_of(F.col("__toks"), n)).drop("__toks")
 
 
 def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
@@ -131,11 +151,11 @@ def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
     division are bit-deterministic across engines, so the op is exactly
     oracle-checkable.
     """
-    grams = word_ngrams(F.col("text"), n)
-    out = documents.select(
+    grams = with_word_ngrams(documents.select("doc_id", "text"), "text", n, "__g")
+    out = grams.select(
         "doc_id",
-        F.size(grams).cast("bigint").alias("n_grams"),
-        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+        F.size("__g").cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct("__g")).cast("bigint").alias("n_distinct"),
     )
     return out.withColumn(
         "dup_ratio",
