@@ -179,16 +179,6 @@ def dedup_keep_first(documents: DataFrame, key_cols: list[str], order_col: str) 
     )
 
 
-def _shingles(text_col, k: int = 5):
-    """k-word shingles from whitespace-normalized lowercase text (array col)."""
-    tokens = F.split(F.lower(F.trim(text_col)), r"\s+")
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k))
-    )
-
-
 def minhash_signatures(
     documents: DataFrame,
     text_col: str = "text",
