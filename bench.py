@@ -40,6 +40,9 @@ HEADLINE = [
     "token_count",
     "lang_id",
     "rolling_fingerprint",
+    # heavyweight corpus-hygiene ops (real per-row compute, not job-floor):
+    "repetition_score",
+    "decontaminate",
 ]
 
 
