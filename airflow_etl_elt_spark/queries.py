@@ -958,6 +958,27 @@ def q_source_cap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user engagement rollup composed ON TOP of sessionize: session
+    count, mean session duration (seconds), mean events per session. The
+    composed-pipeline shape — the second agg reuses the session rows, and
+    the explicit sum/count division (not avg()) keeps the float path
+    bit-identical to the oracle (exact integer sums, one IEEE division)."""
+    ev = read_table(spark, sf, "events")
+    sessions = timeseries.sessionize(ev)
+    dur_us = F.unix_micros("session_end") - F.unix_micros("session_start")
+    n = F.count(F.lit(1))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            n.alias("n_sessions"),
+            (F.sum(dur_us).cast("double") / n / F.lit(1e6)).alias("mean_dur_s"),
+            (F.sum("n_events").cast("double") / n).alias("mean_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_salted_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-mitigated twin of ``revenue_by_segment``: the orders→customer
     join goes through ``salted_join`` (hot keys spread over 8 reducers, dim
@@ -1373,6 +1394,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_cap": q_source_cap,
     "salted_revenue_by_segment": q_salted_revenue_by_segment,
     "grouped_quantiles": q_grouped_quantiles,
+    "session_stats": q_session_stats,
     "mode_event_type": q_mode_event_type,
     "price_histogram": q_price_histogram,
     # --- fixed or reshaped in r3 (NTZ root cause; hard-signal outputs) ---
@@ -2080,6 +2102,30 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS order_cnt
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "session_stats": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                      ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM flagged),
+        sessions AS (
+          SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+                 count(*) AS n_events
+          FROM numbered GROUP BY user_id, session_id)
+        SELECT user_id,
+               count(*) AS n_sessions,
+               CAST(sum(epoch_us(session_end) - epoch_us(session_start)) AS DOUBLE)
+                 / count(*) / 1e6 AS mean_dur_s,
+               CAST(sum(n_events) AS DOUBLE) / count(*) AS mean_events
+        FROM sessions GROUP BY user_id ORDER BY user_id
     """,
     "grouped_quantiles": """
         SELECT c_mktsegment,
