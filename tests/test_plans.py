@@ -157,3 +157,20 @@ def test_salted_join_result_plan_no_cartesian(spark):
     plan = _plan(QUERIES["salted_revenue_by_segment"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_split_not_reevaluated_per_element(spark):
+    """Regression guard for the two optimizer traps in SCALING.md r3
+    addendum 2: a split() that ends up inside a transform lambda or an
+    InferFiltersFromGenerate filter re-runs per array element (O(T²) regex).
+    The materialized-token shapes keep split references per-row-bounded:
+    repetition_score evaluates it exactly once; decontaminate at most three
+    times per side (projection + pushed size filter + inferred generate
+    filter), never inside a lambda."""
+    plan = _plan(QUERIES["repetition_score"](spark, SF_SMOKE))
+    assert plan.count("split(") == 1, plan.count("split(")
+    plan = _plan(QUERIES["decontaminate"](spark, SF_SMOKE))
+    assert plan.count("split(") <= 6, plan.count("split(")
+    # the per-element trap specifically: no split beneath a lambdafunction
+    for frag in plan.split("lambdafunction")[1:]:
+        assert "split(" not in frag.split(")")[0]
