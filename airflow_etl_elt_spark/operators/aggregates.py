@@ -324,9 +324,18 @@ def modal_value(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     oracle-checkable.
     """
     counts = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    # NULLS LAST in the tie-break (the middle struct field): Spark's struct
+    # ordering sorts NULL first, but the SQL-oracle formulation (ORDER BY
+    # cnt DESC, value) puts NULL last — a NULL value tied at max count must
+    # lose to any non-NULL value on both engines.
     return counts.groupBy(group_col).agg(
         F.min_by(
-            value_col, F.struct((-F.col("__cnt")).alias("nc"), F.col(value_col).alias("v"))
+            value_col,
+            F.struct(
+                (-F.col("__cnt")).alias("nc"),
+                F.col(value_col).isNull().cast("int").alias("null_last"),
+                F.col(value_col).alias("v"),
+            ),
         ).alias(f"modal_{value_col}"),
         F.max("__cnt").alias("cnt"),
     )

@@ -126,6 +126,19 @@ def sample_fraction(df: DataFrame, fraction: float, seed: int = 1) -> DataFrame:
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
 
 
+def _md5_bucket(key_col: str, buckets: int):
+    """Engine-portable pseudo-random bucket of a key: first 15 hex chars of
+    md5 as a bigint, mod ``buckets``. The shared primitive behind
+    deterministic/stratified sampling (the oracle twin is DuckDB's
+    ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)``) —
+    change the digest policy here and in those oracle strings together."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+
+
 def deterministic_sample(
     df: DataFrame, key_col: str, percent: int, buckets: int = 100
 ) -> DataFrame:
@@ -138,12 +151,7 @@ def deterministic_sample(
     is engine-portable, so this is oracle-checkable exactly. Cost: one
     codegen'd hash per row, no shuffle, filter runs at scan time.
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % buckets
-    )
-    return df.filter(bucket < percent)
+    return df.filter(_md5_bucket(key_col, buckets) < percent)
 
 
 def stratified_sample(
@@ -166,11 +174,7 @@ def stratified_sample(
     and the op is exactly oracle-checkable. One codegen'd hash + CASE per
     row, no shuffle, evaluates at scan time.
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % buckets
-    )
+    bucket = _md5_bucket(key_col, buckets)
     thresh = F.lit(default_percent)
     for stratum, pct in sorted(rates.items()):
         thresh = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(thresh)

@@ -135,7 +135,11 @@ def with_word_ngrams(
     keeps the regex split O(T) per document. Still codegen'd, no UDF, no
     shuffle.
     """
-    tokd = df.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    # NULL text → zero grams (not NULL grams): the DuckDB oracle's
+    # greatest(0, len(NULL)-k) collapses NULL to an empty gram list, and a
+    # NULL row in a regenerated fixture must not flip the driver hash.
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    tokd = df.withColumn("__toks", F.split(F.trim(text), r"\s+"))
     return tokd.withColumn(out_col, _ngrams_of(F.col("__toks"), n)).drop("__toks")
 
 

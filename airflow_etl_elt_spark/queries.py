@@ -1428,7 +1428,9 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_revenue": q_rollup_revenue,
     "csv_scan": q_csv_scan,
     "rolling_fingerprint": q_rolling_fingerprint,
-    # --- r2-green insurance (checked r2, kept in-window) ---
+    # --- green in r2; the r3 key insertions above pushed the tail of this
+    # block (quantiles_price..tfidf_top_terms) past the 50-key window — they
+    # coast on their recorded r02 rows (all verified green) ---
     "quantiles_price": q_quantiles_price,
     "conditional_agg": q_conditional_agg,
     "date_parts": q_date_parts,

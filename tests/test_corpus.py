@@ -261,3 +261,27 @@ def test_modal_value_tie_breaks_to_smallest(spark):
     got = {r["user_id"]: (r["modal_event_type"], r["cnt"])
            for r in modal_value(df, "user_id", "event_type").collect()}
     assert got == {1: ("a", 2), 2: ("z", 2)}
+
+
+def test_repetition_score_null_text_is_zero_not_null(spark):
+    """NULL text must match the oracle's greatest(0, len(NULL)-k) collapse:
+    zero grams, dup_ratio 0.0 — not NULL-propagation (code-review r3)."""
+    from airflow_etl_elt_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame([(1, None), (2, "a b c d")], "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in repetition_score(df, n=3).collect()}
+    assert (got[1]["n_grams"], got[1]["n_distinct"], got[1]["dup_ratio"]) == (0, 0, 0.0)
+    assert got[2]["n_grams"] == 2
+
+
+def test_modal_value_null_loses_ties(spark):
+    """A NULL value tied at max count loses to any non-NULL value (NULLS
+    LAST, matching the SQL-oracle ORDER BY); a group with only NULLs still
+    yields a row (code-review r3)."""
+    from airflow_etl_elt_spark.operators.aggregates import modal_value
+
+    rows = [(1, None), (1, None), (1, "a"), (1, "a"), (3, None), (3, None)]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string")
+    got = {r["user_id"]: (r["modal_event_type"], r["cnt"])
+           for r in modal_value(df, "user_id", "event_type").collect()}
+    assert got == {1: ("a", 2), 3: (None, 2)}
