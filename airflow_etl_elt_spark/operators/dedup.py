@@ -407,7 +407,11 @@ def ngram_jaccard_verify(
     def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
         out = np.zeros(len(ta))
         for i, (x, y) in enumerate(zip(ta, tb)):
-            xt, yt = x.lower().split(), y.lower().split()
+            # NULL text = empty document: jaccard 0, never a crash (the
+            # fixtures are regenerated every round; a NULL row must degrade,
+            # not kill the verify stage).
+            xt = x.lower().split() if x is not None else []
+            yt = y.lower().split() if y is not None else []
             gx = {" ".join(xt[j : j + n]) for j in range(max(len(xt) - n + 1, 1))}
             gy = {" ".join(yt[j : j + n]) for j in range(max(len(yt) - n + 1, 1))}
             u = len(gx | gy)

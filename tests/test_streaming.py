@@ -194,3 +194,32 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
     # each event in exactly 2 overlapping windows
     assert sum(r["n_events"] for r in got) == 2 * len(rows)
+
+
+def test_corpus_hygiene_ops_are_streaming_legal(spark, tmp_path):
+    """The stateless corpus-hygiene ops (stratified_sample, repetition_score)
+    must run unchanged over a document STREAM — ingestion-time hygiene at
+    100 TB is a streaming job, not a nightly batch. availableNow catch-up
+    over a file drop must equal the batch result exactly."""
+    from airflow_etl_elt_spark.operators.relational import stratified_sample
+    from airflow_etl_elt_spark.operators.text import repetition_score
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (i, ("spark rows " * (i % 4 + 1)).strip(), "en" if i % 2 else "zh")
+        for i in range(40)
+    ]
+    schema = "doc_id bigint, text string, lang string"
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    def hygiene(df):
+        kept = stratified_sample(df, "lang", {"en": 50}, key_col="doc_id")
+        return repetition_score(kept, n=2)
+
+    batch = sorted(tuple(r) for r in hygiene(spark.read.parquet(src)).collect())
+    stream_df = hygiene(spark.readStream.schema(schema).parquet(src))
+    got = sorted(
+        tuple(r)
+        for r in _run_foreach_batch(stream_df, str(tmp_path / "ckpt"), mode="append")
+    )
+    assert got == batch and len(got) > 0
