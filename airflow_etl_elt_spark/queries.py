@@ -1078,6 +1078,28 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ ANN: 8×16 product-quantized codes (~64x vector compression), ADC
+    scan + exact rescore of the top-50 candidates. Rows-only (iterative
+    codebook training has no SQL twin) with the same driver-visible
+    self-check as ann_ivf: ``in_exact_top50`` per returned row."""
+    emb = read_table(spark, sf, "embeddings")
+    qv = _query_vec(spark, sf)
+    approx = similarity.pq_topk(emb, qv, k=10, m=8, ksub=16, rerank=50)
+    exact50 = similarity.cosine_topk(emb, qv, k=50).select(
+        F.col("vec_id").alias("__exact_id")
+    )
+    return (
+        approx.join(F.broadcast(exact50), approx["vec_id"] == F.col("__exact_id"), "left")
+        .select(
+            "vec_id",
+            "cosine",
+            F.col("__exact_id").isNotNull().alias("in_exact_top50"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+    )
+
+
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.documents_as_media(fan_out(read_table(spark, sf, "documents")))
     return multimodal.extract_media_features(media, with_dims_check=True)
@@ -1395,6 +1417,7 @@ QUERIES: dict[str, QueryFn] = {
     "salted_revenue_by_segment": q_salted_revenue_by_segment,
     "grouped_quantiles": q_grouped_quantiles,
     "session_stats": q_session_stats,
+    "ann_pq": q_ann_pq,
     "mode_event_type": q_mode_event_type,
     "price_histogram": q_price_histogram,
     # --- fixed or reshaped in r3 (NTZ root cause; hard-signal outputs) ---

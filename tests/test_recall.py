@@ -133,3 +133,30 @@ def test_simhash_banding_is_exact(spark, doc_rows):
     }
     # pigeonhole guarantee: banding must find EXACTLY the brute-force set
     assert banded == exact
+
+
+def test_ann_pq_recall(spark, exact_top10):
+    """ADC-selected + exact-rescored PQ top-10 vs brute force: measured 1.0
+    at sf0.01 (rerank=50 covers quantization error at this corpus size)."""
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    q = _query_vec(spark, SF_CORRECT)
+    got = {r["vec_id"] for r in similarity.pq_topk(emb, q, k=10, rerank=50).collect()}
+    assert len(exact_top10 & got) / 10 >= 0.8
+
+
+def test_pq_code_roundtrip_distortion_bounded(spark):
+    """Encoding sanity: reconstructing each vector from its codebook entries
+    must land closer to the original than to the corpus mean (i.e. the
+    codebooks learned structure, not noise)."""
+    import numpy as np
+
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    books = similarity.pq_train(emb, m=8, ksub=16)
+    rows = similarity.pq_encode(emb, books).select("embedding", "pq_code").limit(200).collect()
+    X = np.array([[float(v) for v in r["embedding"]] for r in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    B = [np.array(b) for b in books]
+    recon = np.hstack([B[s][[r["pq_code"][s] for r in rows]] for s in range(8)])
+    err = np.linalg.norm(X - recon, axis=1).mean()
+    base = np.linalg.norm(X - X.mean(axis=0), axis=1).mean()
+    assert err < base
