@@ -528,3 +528,39 @@ def pq_topk(
         .limit(rerank)
     )
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec: "list[float]",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 50,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN index shape (coarse k-means
+    cells to prune the corpus, PQ codes to score what's left — Jégou 2011
+    §V), composed from the repo's own ``ivf_*`` and ``pq_*`` pieces.
+
+    At rest: corpus partitioned by ``ivf_cell`` with (id, pq_code) columns —
+    a probe touches n_probe/n_centroids of the partitions (partition
+    pruning) and reads ~1/64th of the bytes (codes, not vectors). Here the
+    cell filter + ADC scan express that plan over the fixture table; exact
+    cosine rescores only the ``rerank`` survivors.
+    """
+    cents = ivf_centroids(embeddings, n_centroids, seed=seed, vec_col=vec_col)
+    import numpy as np  # local: keep module import surface unchanged
+
+    q = np.array(query_vec, dtype=np.float64)
+    probe = np.argsort([((q - np.array(c)) ** 2).sum() for c in cents])[:n_probe]
+    cells = ivf_assign(embeddings, cents, vec_col).filter(
+        F.col("ivf_cell").isin([int(p) for p in probe])
+    )
+    return pq_topk(
+        cells, query_vec, k, m, ksub, rerank, seed, id_col, vec_col
+    )

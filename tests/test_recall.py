@@ -160,3 +160,18 @@ def test_pq_code_roundtrip_distortion_bounded(spark):
     err = np.linalg.norm(X - recon, axis=1).mean()
     base = np.linalg.norm(X - X.mean(axis=0), axis=1).mean()
     assert err < base
+
+
+def test_ivfpq_recall(spark, exact_top10):
+    """The composed IVF-PQ index (prune cells, ADC-score codes, exact
+    rescore) against brute force: measured 0.9+ at sf0.01 with half the
+    cells probed."""
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    q = _query_vec(spark, SF_CORRECT)
+    got = {
+        r["vec_id"]
+        for r in similarity.ivfpq_topk(
+            emb, q, k=10, n_centroids=16, n_probe=8, rerank=50
+        ).collect()
+    }
+    assert len(exact_top10 & got) / 10 >= 0.7
