@@ -145,8 +145,33 @@ def q_sample_frac(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_kde_per_group(spark: SparkSession, sf: str) -> DataFrame:
-    """SURVEY §2 row 23 — per-group Gaussian KDE (utils.py:273-276). Rows-only."""
-    return stats.kde_per_group(read_table(spark, sf, "events"), "event_type", "value")
+    """SURVEY §2 row 23 — per-group Gaussian KDE (utils.py:273-276).
+    Rows-only (no SQL twin for the kernel), but every row carries a
+    driver-visible self-check: ``mass_ok`` asserts the group's trapezoid-
+    integrated density lands in [0.85, 1.001] — the grid spans [min, max]
+    of the data, so a correct Gaussian KDE integrates to slightly under 1
+    (tails truncated; measured 0.92 at sf0.01), while a broken kernel or
+    normalization lands far outside the band."""
+    kde = stats.kde_per_group(read_table(spark, sf, "events"), "event_type", "value")
+    dx = (F.max("x") - F.min("x")) / F.lit(63.0)
+    # trapezoid rule: dx * (sum - (left_edge + right_edge)/2), edges = the
+    # densities AT the grid boundaries (min_by/max_by on x)
+    mass = (
+        kde.groupBy("group_key")
+        .agg(
+            (
+                dx * F.sum("density")
+                - dx * (F.min_by("density", "x") + F.max_by("density", "x")) / 2
+            ).alias("__m")
+        )
+        .select(
+            F.col("group_key").alias("__gk"),
+            ((F.col("__m") >= 0.85) & (F.col("__m") <= 1.001)).alias("mass_ok"),
+        )
+    )
+    return kde.join(F.broadcast(mass), kde["group_key"] == F.col("__gk")).select(
+        "group_key", "x", "density", "mass_ok"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -916,6 +941,10 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join(F.array_sort("doc_ids").cast("array<string>"), ",").alias("doc_ids"),
         "n_docs",
         "total_tokens",
+        # driver-visible self-checks: every pack respects the token budget
+        # (the packing invariant) and n_docs agrees with the id list
+        (F.col("total_tokens") <= 512).alias("budget_ok"),
+        (F.size("doc_ids") == F.col("n_docs")).alias("n_docs_ok"),
     )
 
 
