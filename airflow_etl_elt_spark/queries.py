@@ -389,7 +389,12 @@ def q_dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash Hamming-banded near-dup pairs. Rows-only."""
+    """SimHash Hamming-banded near-dup pairs — ORACLE-CHECKED since r3: the
+    md5-little-endian token hash + per-bit majority vote is replicated in
+    pure SQL (hi/lo 32-bit split, HUGEINT shifts), and the oracle brute-
+    forces Hamming ≤ 3 over the sketches. The banding is proven equal to
+    brute force by the pigeonhole test (tests/test_recall.py), so sketch
+    parity + brute-force parity = the whole operator is hash-checked."""
     return dedup.simhash_near_pairs(read_table(spark, sf, "documents"), max_hamming=3)
 
 
@@ -1447,6 +1452,7 @@ QUERIES: dict[str, QueryFn] = {
     "grouped_quantiles": q_grouped_quantiles,
     "session_stats": q_session_stats,
     "ann_pq": q_ann_pq,
+    "dedup_simhash": q_dedup_simhash,  # oracled in r3 (was rows-only) — must sit in the 50-key window
     "mode_event_type": q_mode_event_type,
     "price_histogram": q_price_histogram,
     # --- fixed or reshaped in r3 (NTZ root cause; hard-signal outputs) ---
@@ -1534,7 +1540,6 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_lsh": q_ann_lsh,
     "label_pairs_topk": q_label_pairs_topk,
@@ -2156,6 +2161,46 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS order_cnt
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # SimHash in pure SQL: token hash = first 8 md5 bytes LITTLE-endian
+    # (hi/lo 32-bit halves recomposed in HUGEINT — DuckDB won't cast 16 hex
+    # chars straight to UINT128), sketch bit j = majority of token bits j,
+    # two's-complement fold to BIGINT, then brute-force Hamming <= 3 (the
+    # pigeonhole test proves Spark's banding equals brute force).
+    "dedup_simhash": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5(tok),15,2) || substr(md5(tok),13,2) ||
+                            substr(md5(tok),11,2) || substr(md5(tok),9,2)) AS BIGINT) AS HUGEINT)
+                   * 4294967296
+                 + CAST(('0x' || substr(md5(tok),7,2) || substr(md5(tok),5,2) ||
+                         substr(md5(tok),3,2) || substr(md5(tok),1,2)) AS BIGINT) AS th
+          FROM toks),
+        bits AS (
+          SELECT doc_id, b.j,
+                 count(*) FILTER ((th >> CAST(b.j AS HUGEINT)) & 1 = 1) AS ones,
+                 count(*) AS n
+          FROM h, (SELECT unnest(generate_series(0, 63)) AS j) b
+          GROUP BY doc_id, b.j),
+        sket AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << CAST(63 AS HUGEINT)
+                           THEN raw - (CAST(1 AS HUGEINT) << CAST(64 AS HUGEINT))
+                           ELSE raw END AS BIGINT) AS simhash
+          FROM (SELECT doc_id,
+                       sum(CASE WHEN ones * 2 > n
+                                THEN CAST(1 AS HUGEINT) << CAST(j AS HUGEINT)
+                                ELSE CAST(0 AS HUGEINT) END) AS raw
+                FROM bits GROUP BY doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sket a JOIN sket b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     "session_stats": """
         WITH flagged AS (
