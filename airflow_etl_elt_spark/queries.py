@@ -2268,20 +2268,20 @@ ORACLE_SQL: dict[str, str] = {
                          / len(grams) END AS dup_ratio
         FROM g
     """,
+    # joins raw gram strings where Spark joins xxhash64 digests: identical
+    # surviving set absent a 64-bit collision (documented in decontaminate)
     "decontaminate": r"""
         WITH toks AS (
           SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
           FROM documents),
         g AS (
           SELECT doc_id, source,
-                 CAST(('0x' || substr(md5(
-                   unnest(list_transform(generate_series(1, greatest(0, len(t) - 3)),
-                                         i -> array_to_string(t[i : i + 3], ' ')))
-                 ), 1, 15)) AS BIGINT) AS digest
+                 unnest(list_transform(generate_series(1, greatest(0, len(t) - 3)),
+                                       i -> array_to_string(t[i : i + 3], ' '))) AS gram
           FROM toks),
-        ev AS (SELECT DISTINCT digest FROM g WHERE doc_id % 10 = 0),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
         bad AS (SELECT DISTINCT doc_id FROM g
-                WHERE doc_id % 10 <> 0 AND digest IN (SELECT digest FROM ev))
+                WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM ev))
         SELECT doc_id, source FROM documents
         WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
     """,
