@@ -143,6 +143,49 @@ def with_word_ngrams(
     return tokd.withColumn(out_col, _ngrams_of(F.col("__toks"), n)).drop("__toks")
 
 
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    embedding/RAG preparation op (chunk i starts at token i·stride,
+    stride = chunk_tokens - overlap; the last chunk may be short; documents
+    shorter than one chunk yield exactly one chunk).
+
+    Plan shape per the SCALING.md n-gram lessons: tokens materialized
+    through a projection boundary, the GENERATOR input is the cheap index
+    sequence (so InferFiltersFromGenerate's size()>0 filter wraps only
+    ``sequence()``), and each chunk is built once per output row from the
+    bound token column. No UDF, no shuffle — a pure scan-side expansion
+    that scales linearly.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    tokd = documents.withColumn("__toks", F.split(F.trim(text), r"\s+"))
+    # n_chunks = 1 + max(0, ceil((size - chunk) / stride)), integer form
+    n_extra = F.greatest(
+        F.lit(0),
+        (F.size("__toks") - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride),
+    ).cast("int")
+    chunks = tokd.select(
+        id_col,
+        "__toks",
+        F.posexplode(F.sequence(F.lit(0), n_extra)).alias("chunk_idx", "__j"),
+    )
+    piece = F.slice("__toks", F.col("__j") * stride + 1, chunk_tokens)
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("chunk_len"),
+    )
+
+
 def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
     """Within-document repetition: fraction of word n-grams that are
     duplicates of an earlier n-gram in the same document — the Gopher-style

@@ -964,6 +964,14 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """64-token chunks with 16-token overlap — the RAG/embedding prep op.
+    Pure scan-side expansion (index-sequence generator, tokens materialized
+    once), exactly oracle-checkable."""
+    docs = read_table(spark, sf, "documents")
+    return text.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 def q_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document duplicate-3-gram ratio (Gopher-style repetition quality
     rule) — per-row array ops only, no shuffle, exactly oracle-checkable."""
@@ -1446,6 +1454,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "stratified_sample": q_stratified_sample,
     "repetition_score": q_repetition_score,
+    "chunk_documents": q_chunk_documents,
     "decontaminate": q_decontaminate,
     "source_cap": q_source_cap,
     "salted_revenue_by_segment": q_salted_revenue_by_segment,
@@ -2251,6 +2260,22 @@ ORACLE_SQL: dict[str, str] = {
                          ELSE 1 + floor(o_totalprice / 10000.0) END AS BIGINT) AS bucket,
                count(*) AS cnt
         FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+    "chunk_documents": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 unnest(generate_series(0,
+                   greatest(0, CAST(ceil((len(t) - 64) / 48.0) AS INT)))) AS j,
+                 t
+          FROM toks)
+        SELECT doc_id,
+               CAST(j AS INT) AS chunk_idx,
+               array_to_string(t[j*48 + 1 : j*48 + 64], ' ') AS chunk_text,
+               CAST(len(t[j*48 + 1 : j*48 + 64]) AS BIGINT) AS chunk_len
+        FROM c
     """,
     "repetition_score": r"""
         WITH toks AS (

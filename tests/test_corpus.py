@@ -285,3 +285,27 @@ def test_modal_value_null_loses_ties(spark):
     got = {r["user_id"]: (r["modal_event_type"], r["cnt"])
            for r in modal_value(df, "user_id", "event_type").collect()}
     assert got == {1: ("a", 2), 3: (None, 2)}
+
+
+def test_chunk_documents_edges_and_overlap(spark):
+    from airflow_etl_elt_spark.operators.text import chunk_documents
+
+    def words(n, prefix="w"):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    rows = [
+        (1, words(5)),    # shorter than one chunk → 1 chunk, len 5
+        (2, words(8)),    # chunk=6, overlap=2, stride=4 → chunks at 0,4: len 6, 4
+        (3, words(6)),    # exactly one chunk
+        (4, None),        # NULL → one chunk of ""
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_documents(df, chunk_tokens=6, overlap=2)
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_len"]) for r in out.collect()}
+    assert got[(1, 0)] == (words(5), 5)
+    assert (1, 1) not in got
+    assert got[(2, 0)][1] == 6 and got[(2, 1)][1] == 4
+    # overlap: chunk 1 starts at token 4, so tokens w4,w5 appear in both
+    assert got[(2, 0)][0].split()[-2:] == got[(2, 1)][0].split()[:2] == ["w4", "w5"]
+    assert got[(3, 0)][1] == 6 and (3, 1) not in got
+    assert got[(4, 0)] == ("", 1)  # split("") yields [""], one empty token
