@@ -57,16 +57,21 @@ def _media(spark):
 
 
 def test_resize_media_output_contract(spark):
-    from airflow_etl_elt_spark.operators.multimodal import decode_ppm
+    from airflow_etl_elt_spark.operators.multimodal import decode_pixels
 
     out = resize_media(_media(spark), target_w=8, target_h=4).collect()
     assert len(out) == 50
+    formats = set()
     for r in out:
         assert r["width"] == 8 and r["height"] == 4
         assert r["n_bytes"] == len(r["payload"])
-        # the payload is a REAL PPM: decoding it yields the target raster
-        px = decode_ppm(bytes(r["payload"]))
+        # the payload is a REAL image (PPM or PNG per the source format):
+        # decoding it yields the target raster
+        b = bytes(r["payload"])
+        formats.add(b[:2])
+        px = decode_pixels(b)
         assert px.shape == (4, 8, 3)
+    assert formats == {b"P6", b"\x89P"}  # both codecs exercised
 
 
 def test_resize_media_deterministic(spark):
@@ -152,3 +157,109 @@ def test_codec_roundtrip_and_sniffing():
 
     with _pytest.raises(ValueError):
         decode_dims(b"garbage-bytes")
+
+
+def test_png_roundtrip_all_channel_counts():
+    import numpy as np
+
+    from airflow_etl_elt_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 4), (5, 4, 3), (5, 4, 4)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert (decode_png(encode_png(px)) == px).all(), shape
+
+
+def test_png_unfilters_every_filter_type():
+    """Hand-assemble PNGs whose scanlines use each filter (Sub/Up/Average/
+    Paeth, forward-filtered here per spec §9) and check the decoder inverts
+    them — the encoder only emits filter 0, so roundtrip alone would never
+    exercise these paths."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from airflow_etl_elt_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8).astype(np.int32)
+    h, w, bpp = 6, 5, 3
+    stride = w * bpp
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    flat = px.reshape(h, stride)
+    raw = b""
+    for y in range(h):
+        f = y % 5  # cycle through all five filter types
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        line = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            pred = [0, left, up, (left + up) // 2, paeth(left, up, ul)][f]
+            line[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([f]) + bytes(line.astype(np.uint8))
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", zlib.crc32(tag + data) & 0xFFFFFFFF
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(payload) == px.astype(np.uint8)).all()
+
+
+def test_png_unsupported_features_raise():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from airflow_etl_elt_spark.operators.multimodal import decode_png, encode_png
+
+    good = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    for offset, val, msg in [(24, 16, "bit depth"), (25, 3, "color type"), (28, 1, "interlacing")]:
+        bad = bytearray(good)
+        bad[offset] = val
+        with _pytest.raises(ValueError, match=msg):
+            decode_png(bytes(bad))
+
+
+def test_resize_media_handles_png_payloads(spark):
+    import numpy as np
+
+    from airflow_etl_elt_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, bytearray(encode_png(rng.integers(0, 256, size=(40, 30, 3), dtype=np.uint8))),
+         "image/png", (0, 30, 40))
+        for i in range(4)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, payload binary, media_type string, "
+        "meta struct<n_bytes: bigint, declared_w: int, declared_h: int>",
+    )
+    out = resize_media(media, target_w=8, target_h=8).collect()
+    assert len(out) == 4
+    for r in out:
+        px = decode_png(bytes(r["payload"]))
+        assert px.shape == (8, 8, 3)
