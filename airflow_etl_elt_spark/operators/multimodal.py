@@ -279,7 +279,9 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads, metas, mimes = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                data = text.encode("utf-8")
+                # NULL text = empty document (degrade, don't crash — fixture
+                # regeneration may introduce NULL rows)
+                data = (text or "").encode("utf-8")
                 w = 16 + (len(data) % 48)
                 h = 16 + (len(data) // 7 % 48)
                 tiled = np.resize(np.frombuffer(data or b"\0", dtype=np.uint8), w * h * 3)

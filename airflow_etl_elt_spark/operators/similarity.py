@@ -239,15 +239,20 @@ def ivf_centroids(
     bounded driver-side sample. The sample is capped (``limit``), so driver
     memory is O(sample_size · dim) regardless of corpus size — the classic
     build-small / apply-big split of IVF indexing."""
-    import numpy as np
-
     sample = [
         [float(x) for x in r[0]]
         for r in embeddings.select(vec_col).limit(sample_size).collect()
     ]
     X = np.array(sample, dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    C = _lloyd(X, n_centroids, iters, np.random.default_rng(seed))
+    return [[float(v) for v in row] for row in C]
+
+
+def _lloyd(X: "np.ndarray", k: int, iters: int, rng) -> "np.ndarray":
+    """Seeded Lloyd k-means: the shared numeric kernel behind the IVF coarse
+    quantizer and each PQ subspace codebook (empty clusters keep their old
+    centroid)."""
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
     for _ in range(iters):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
@@ -255,7 +260,7 @@ def ivf_centroids(
             members = X[assign == c]
             if len(members):
                 C[c] = members.mean(axis=0)
-    return [[float(v) for v in row] for row in C]
+    return C
 
 
 def ivf_assign(
@@ -434,15 +439,7 @@ def pq_train(
     rng = np.random.default_rng(seed)
     books = []
     for s in range(m):
-        Xs = X[:, s * dsub : (s + 1) * dsub]
-        C = Xs[rng.choice(len(Xs), size=min(ksub, len(Xs)), replace=False)].copy()
-        for _ in range(iters):
-            d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            for c in range(len(C)):
-                members = Xs[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
+        C = _lloyd(X[:, s * dsub : (s + 1) * dsub], ksub, iters, rng)
         books.append([[float(v) for v in row] for row in C])
     return books
 
@@ -468,6 +465,8 @@ def pq_encode(
 
     @pandas_udf("array<int>")
     def encode(vs: pd.Series) -> pd.Series:
+        if not len(vs):  # empty Arrow batch (e.g. a cell-filtered partition)
+            return pd.Series([], dtype=object)
         X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         codes = np.empty((len(X), len(books)), dtype=np.int32)
@@ -554,8 +553,6 @@ def ivfpq_topk(
     cosine rescores only the ``rerank`` survivors.
     """
     cents = ivf_centroids(embeddings, n_centroids, seed=seed, vec_col=vec_col)
-    import numpy as np  # local: keep module import surface unchanged
-
     q = np.array(query_vec, dtype=np.float64)
     probe = np.argsort([((q - np.array(c)) ** 2).sum() for c in cents])[:n_probe]
     cells = ivf_assign(embeddings, cents, vec_col).filter(
