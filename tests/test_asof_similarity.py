@@ -120,3 +120,25 @@ def test_ivf_assignment_and_recall(spark):
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     top = similarity.ivf_topk(emb, q, k=1, n_centroids=4, n_probe=4).first()
     assert top["vec_id"] == 0
+
+
+def test_ivf_partitioned_at_rest_prunes_probes(spark, tmp_path):
+    """Substantiate the docstring claim: a corpus written partitioned by
+    ivf_cell turns a probe into a partition-pruned scan — the at-scale
+    layout where n_probe/n_centroids of the files are even touched."""
+    from airflow_etl_elt_spark.operators.similarity import ivf_assign, ivf_centroids
+    from airflow_etl_elt_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=4)
+    path = str(tmp_path / "ivf_corpus")
+    ivf_assign(emb, cents).write.partitionBy("ivf_cell").parquet(path)
+
+    probe = spark.read.parquet(path).filter("ivf_cell IN (0, 1)")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # partition filter on the partition column, nothing pushed to data files
+    assert "PartitionFilters: [" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:80]
+    # and the scan actually reads only the probed cells
+    cells = {r["ivf_cell"] for r in probe.select("ivf_cell").distinct().collect()}
+    assert cells <= {0, 1}
