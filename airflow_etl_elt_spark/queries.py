@@ -408,10 +408,16 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact n-gram Jaccard verification over MinHash candidates. Rows-only."""
+    """Exact n-gram Jaccard verification over near-dup CANDIDATES — the
+    candidate→verify composition. ORACLE-CHECKED since r3: candidates come
+    from the SimHash banding (whose sketch is SQL-replicated for the
+    dedup_simhash oracle), so the whole two-stage pipeline — sketch, band,
+    verify — is reproduced in one SQL statement and hash-checked. The
+    MinHash candidate path exercises the same verify operator in
+    tests/test_recall.py."""
     docs = read_table(spark, sf, "documents")
-    cands = dedup.minhash_lsh_pairs(docs, threshold=0.2)
-    return dedup.ngram_jaccard_verify(docs, cands, n=3, min_jaccard=0.3)
+    cands = dedup.simhash_near_pairs(docs, max_hamming=3)
+    return dedup.ngram_jaccard_verify(docs, cands, n=3, min_jaccard=0.0)
 
 
 # --------------------------------------------------------------------------
@@ -1459,6 +1465,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_pq": q_ann_pq,
     "dedup_simhash": q_dedup_simhash,  # oracled in r3 (was rows-only) — must sit in the 50-key window
     "kde_per_group": q_kde_per_group,  # mass_ok self-check added r3 — must sit in the 50-key window
+    "ngram_jaccard": q_ngram_jaccard,  # oracled in r3 (simhash-candidate verify) — must sit in the 50-key window
     "mode_event_type": q_mode_event_type,
     "price_histogram": q_price_histogram,
     # --- fixed or reshaped in r3 (NTZ root cause; hard-signal outputs) ---
@@ -1545,7 +1552,6 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_minhash": q_dedup_minhash,
-    "ngram_jaccard": q_ngram_jaccard,
     "ann_lsh": q_ann_lsh,
     "label_pairs_topk": q_label_pairs_topk,
 }
@@ -2166,6 +2172,63 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS order_cnt
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # the full candidate→verify pipeline in one statement: SimHash sketch
+    # (same SQL as dedup_simhash) → banding-equivalent brute-force pairs →
+    # exact word-3-gram Jaccard per pair (list_intersect / distinct-union;
+    # the UDF's python .split() drops empty tokens, hence the list_filter)
+    "ngram_jaccard": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5(tok),15,2) || substr(md5(tok),13,2) ||
+                            substr(md5(tok),11,2) || substr(md5(tok),9,2)) AS BIGINT) AS HUGEINT)
+                   * 4294967296
+                 + CAST(('0x' || substr(md5(tok),7,2) || substr(md5(tok),5,2) ||
+                         substr(md5(tok),3,2) || substr(md5(tok),1,2)) AS BIGINT) AS th
+          FROM toks),
+        bits AS (
+          SELECT doc_id, b.j,
+                 count(*) FILTER ((th >> CAST(b.j AS HUGEINT)) & 1 = 1) AS ones,
+                 count(*) AS n
+          FROM h, (SELECT unnest(generate_series(0, 63)) AS j) b
+          GROUP BY doc_id, b.j),
+        sket0 AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << CAST(63 AS HUGEINT)
+                           THEN raw - (CAST(1 AS HUGEINT) << CAST(64 AS HUGEINT))
+                           ELSE raw END AS BIGINT) AS simhash
+          FROM (SELECT doc_id,
+                       sum(CASE WHEN ones * 2 > n
+                                THEN CAST(1 AS HUGEINT) << CAST(j AS HUGEINT)
+                                ELSE CAST(0 AS HUGEINT) END) AS raw
+                FROM bits GROUP BY doc_id)),
+        sket AS (
+          SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+          FROM documents d LEFT JOIN sket0 s ON d.doc_id = s.doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sket a JOIN sket b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, greatest(1, len(t2) - 2)),
+                                              i -> array_to_string(t2[i : i + 2], ' '))) AS g
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   t -> t <> '') AS t2
+                FROM documents))
+        SELECT p.id_a, p.id_b,
+               CASE WHEN len(list_distinct(ga.g || gb.g)) = 0 THEN 0.0
+                    ELSE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                         / len(list_distinct(ga.g || gb.g)) END AS jaccard
+        FROM pairs p
+        JOIN grams ga ON p.id_a = ga.doc_id
+        JOIN grams gb ON p.id_b = gb.doc_id
     """,
     # SimHash in pure SQL: token hash = first 8 md5 bytes LITTLE-endian
     # (hi/lo 32-bit halves recomposed in HUGEINT — DuckDB won't cast 16 hex
