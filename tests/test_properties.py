@@ -112,3 +112,37 @@ def test_stratified_sample_invariants(spark):
         for r in stratified_sample(df.repartition(7), "lang", rates, key_col="doc_id").collect()
     }
     assert again == got  # layout-independent selection
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=60),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_covers_every_token(spark, n_tokens, chunk, overlap_frac):
+    """For ANY (doc length, chunk size, overlap): chunks cover every token
+    in order, consecutive chunks overlap by exactly `overlap` tokens (except
+    a short final chunk), and re-concatenating chunks with the overlap
+    removed reproduces the document."""
+    from airflow_etl_elt_spark.operators.text import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = sorted(
+        (r["chunk_idx"], r["chunk_text"]) for r in
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    )
+    toks = text.split() if text else [""]
+    # reassemble: first chunk whole, then drop the overlapping prefix
+    rebuilt = []
+    for idx, chunk_text in out:
+        parts = chunk_text.split(" ")
+        rebuilt.extend(parts if idx == 0 else parts[overlap:])
+    assert rebuilt == toks
+    # chunk starts advance by exactly stride
+    for idx, chunk_text in out:
+        start = idx * stride
+        assert chunk_text.split(" ") == toks[start : start + chunk]
