@@ -302,3 +302,97 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(normalized.cast("binary")).alias("fp"),
     )
+
+
+def bpe_train_merges(
+    documents: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> "list[tuple[str, str, int]]":
+    """Learn the top ``n_merges`` BPE merges from a corpus (Sennrich 2016,
+    implemented from the paper): repeatedly count adjacent symbol pairs
+    (weighted by word frequency) and merge the most frequent pair.
+
+    Scale shape — the same driver-bounded iteration discipline as
+    ``dedup.connected_components``: the word-frequency table stays a
+    DataFrame end to end; each round runs one distributed explode+agg and
+    ships exactly ONE row (the argmax pair) to the driver; the merge is
+    applied JVM-side with an ``aggregate`` fold over the symbol arrays (no
+    Python in the loop body). k merges = k shuffles over a table that is
+    |unique words| rows regardless of corpus size.
+
+    Determinism: ties on count break by (first, second) lexicographic —
+    stable across partitionings, so the learned merge table is reproducible.
+    Returns [(first, second, count), ...] in merge order.
+    """
+    words = (
+        documents.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.split(F.col("w"), ""))
+        .drop("w")
+    )
+    from airflow_etl_elt_spark.operators._cache import rotate_persist
+
+    merges: list[tuple[str, str, int]] = []
+    for step in range(n_merges):
+        words = rotate_persist(f"bpe_words_{step % 2}", words)
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                    F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b, cnt = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        # JVM-side merge fold: one left-to-right pass per word, greedy
+        # non-overlapping (the pending symbol is either flushed or fused)
+        merged = F.aggregate(
+            F.col("syms"),
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+            lambda acc, x: F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == a) & (x == b),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    x.alias("pend"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["pend"].isNull(), acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+        )
+        words = words.withColumn("syms", merged)
+    return merges

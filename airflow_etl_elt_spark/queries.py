@@ -970,6 +970,20 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 BPE merges learned from the corpus (distributed tokenizer
+    training: per-round pair-count shuffle over the word-frequency table,
+    one argmax row to the driver, JVM-side merge fold). Rows-only —
+    iterative training has no SQL twin — but differential-tested against a
+    pure-Python Sennrich-2016 reference in tests/test_corpus.py."""
+    docs = read_table(spark, sf, "documents")
+    merges = text.bpe_train_merges(docs, n_merges=5)
+    return spark.createDataFrame(
+        [(i, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, first string, second string, merged string, cnt bigint",
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """64-token chunks with 16-token overlap — the RAG/embedding prep op.
     Pure scan-side expansion (index-sequence generator, tokens materialized
@@ -1457,6 +1471,7 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample": q_stratified_sample,
     "repetition_score": q_repetition_score,
     "chunk_documents": q_chunk_documents,
+    "bpe_merges": q_bpe_merges,
     "decontaminate": q_decontaminate,
     "source_cap": q_source_cap,
     "salted_revenue_by_segment": q_salted_revenue_by_segment,

