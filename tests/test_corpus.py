@@ -354,6 +354,7 @@ def test_bpe_train_matches_reference(spark):
         "low lower lowest low low",
         "new newer newest new newer",
         "wide wider widest low newer",
+        "aaa aaaa aaa aaaa aaaa",  # overlapping-pair case: (a,a) on runs
         None,  # NULL text must degrade, not crash
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
