@@ -511,3 +511,128 @@ def connected_components(
         "component", F.col("id")
     )
     return comp.unionByName(roots).distinct()
+
+
+def _token_segments(
+    documents: DataFrame,
+    window: int,
+    text_col: str,
+    id_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Non-overlapping ``window``-token segments per document, as
+    (id, [extra...], seg_idx, __dig = md5(segment text), seg_len).
+
+    The shared segmentation primitive behind :func:`segment_dedup` and
+    :func:`boilerplate_segments` — the paragraph analogue for corpora whose
+    documents carry no structural delimiters (the driver fixtures are
+    single-line). Real paragraph-structured corpora would split on the
+    delimiter instead; everything downstream of the digest is identical.
+
+    Plan shape per the SCALING.md n-gram lessons: tokens are materialized
+    through a projection boundary, the generator input is the cheap index
+    sequence (InferFiltersFromGenerate's synthetic filter then wraps only
+    ``sequence()``), and each segment is built once per output row from the
+    bound token column. Downstream shuffles carry the 32-char digest, never
+    segment text — the :func:`exact_dedup` digest policy.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    tokd = documents.select(
+        id_col, *extra_cols, F.split(F.trim(text), r"\s+").alias("__toks")
+    )
+    # ceil(size/window) in exact integer form; split() yields >= 1 token
+    # (empty text becomes ['']), so every document has >= 1 segment.
+    n_seg = ((F.size("__toks") + F.lit(window - 1)) / F.lit(window)).cast("int")
+    idx = tokd.select(
+        id_col,
+        *extra_cols,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_seg - F.lit(1))).alias("seg_idx"),
+    )
+    piece = F.slice("__toks", F.col("seg_idx") * window + 1, window)
+    return idx.select(
+        id_col,
+        *extra_cols,
+        "seg_idx",
+        F.md5(F.array_join(piece, " ")).alias("__dig"),
+        F.size(piece).cast("bigint").alias("seg_len"),
+    )
+
+
+def segment_dedup(
+    documents: DataFrame,
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document segment-level deduplication — the MassiveText/CCNet
+    paragraph-dedup rule (Rae et al. 2021 §A1.2; Wenzek et al. 2019 §3.1
+    describe the rule family; implemented from the descriptions) at fixed
+    token-window granularity: a segment seen in an earlier document (or
+    earlier in the same document) is a duplicate; only its first occurrence
+    by (doc_id, seg_idx) is kept.
+
+    Returns per-document hygiene stats: n_segments, n_kept, kept_tokens,
+    kept_ratio. Deterministic — the keep set is a pure function of the data,
+    so the op is exactly oracle-checkable.
+
+    Scale shape: one shuffle on the segment digest (32 chars + two ids per
+    row, never text) for the first-occurrence window, one shuffle on doc_id
+    for the rollup. The window partitions by digest — group size = copies of
+    one segment, bounded by duplication not corpus size, so no mega-group
+    funnel. O(total segments) end to end; no all-pairs anything.
+    """
+    from pyspark.sql import Window
+
+    segs = _token_segments(documents, window, text_col, id_col)
+    w = Window.partitionBy("__dig").orderBy(id_col, "seg_idx")
+    ranked = segs.withColumn("__rn", F.row_number().over(w))
+    kept = (F.col("__rn") == 1).cast("bigint")
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(F.col("seg_len") * kept).alias("kept_tokens"),
+        )
+        .withColumn("kept_ratio", F.col("n_kept") / F.col("n_segments"))
+    )
+
+
+def boilerplate_segments(
+    documents: DataFrame,
+    window: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = None,
+) -> DataFrame:
+    """Boilerplate detection: a segment is boilerplate when it appears in at
+    least ``min_docs`` DISTINCT documents (optionally scoped per
+    ``source_col`` — the 'same site header/footer' rule; global when None).
+    Unlike :func:`segment_dedup` every occurrence of a boilerplate segment
+    is flagged, including the first — boilerplate is removed everywhere,
+    not kept once.
+
+    Returns per-document stats: n_segments, n_boiler, boiler_ratio.
+
+    Scale shape: segment digests aggregate to distinct-doc counts (two-phase
+    countDistinct shuffle on [source,] digest), then join back onto the
+    segment stream on the same key — Catalyst reuses the agg-side hash
+    partitioning, so the join adds one exchange for the probe side only —
+    then one rollup shuffle on doc_id. Digest-only traffic throughout.
+    """
+    scope = (source_col,) if source_col else ()
+    segs = _token_segments(documents, window, text_col, id_col, extra_cols=scope)
+    keys = [*scope, "__dig"]
+    freq = segs.groupBy(*keys).agg(F.countDistinct(id_col).alias("__ndocs"))
+    flagged = segs.join(freq, keys)
+    boiler = (F.col("__ndocs") >= min_docs).cast("bigint")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(boiler).alias("n_boiler"),
+        )
+        .withColumn("boiler_ratio", F.col("n_boiler") / F.col("n_segments"))
+    )

@@ -220,3 +220,53 @@ def distinct_sorted(df: DataFrame, col: str, ascending: bool = False) -> DataFra
 def row_count(df: DataFrame) -> DataFrame:
     """Row count as a 1-row DataFrame (load metric, etl_elt_wine.py:220)."""
     return df.agg(F.count(F.lit(1)).alias("row_count"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    shares: "dict[str, int]",
+    total_permyriad: int,
+    key_col: str,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Compose a training mixture: draw a deterministic sample whose size is
+    ``total_permyriad``/10000 of the input and whose composition targets
+    ``shares[group]``/10000 of that budget per listed group (unlisted groups
+    are excluded — the mixture is built FROM the named sources). When a
+    group has too few rows for its target, it is kept whole (rate clamps at
+    100%) — the mixture degrades gracefully rather than erroring, as
+    under-represented languages/domains routinely do.
+
+    Mechanism: per-group keep-rate in bucket units,
+        rate_g = min(buckets, share_g * n_out // cnt_g),
+        n_out = N * total_permyriad // 10000,
+    then keep rows whose md5-bucket(key) < rate_g. Integer arithmetic end to
+    end — no float rounding to drift across engines — and the kept set is a
+    pure function of the data (same md5-bucket primitive as
+    ``deterministic_sample``), so experiments replay exactly and the op is
+    oracle-checkable.
+
+    Scale shape: one small agg for per-group counts (group cardinality rows),
+    broadcast back onto the scan along with the 1-row total; the filter then
+    evaluates scan-side. No driver collect, no window, no data shuffle.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    total = df.select(F.count(F.lit(1)).alias("__n"))
+    share = F.lit(None).cast("bigint")
+    for g, s in sorted(shares.items()):
+        share = F.when(F.col(group_col) == g, F.lit(s)).otherwise(share)
+    joined = (
+        df.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn("__share", share)
+        .filter(F.col("__share").isNotNull())
+        .withColumn("__nout", F.expr(f"__n * {int(total_permyriad)} div 10000"))
+        .withColumn(
+            "__rate",
+            F.least(F.lit(buckets).cast("bigint"), F.expr("__share * __nout div __cnt")),
+        )
+    )
+    return joined.filter(_md5_bucket(key_col, buckets) < F.col("__rate")).drop(
+        "__cnt", "__n", "__share", "__nout", "__rate"
+    )

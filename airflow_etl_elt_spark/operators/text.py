@@ -396,3 +396,47 @@ def bpe_train_merges(
         )
         words = words.withColumn("syms", merged)
     return merges
+
+
+# PII patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (the DuckDB oracle): character classes, bounded/greedy
+# quantifiers, alternation (both engines are leftmost-first), no lookaround,
+# no backreferences. Public-knowledge pattern shapes.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (
+        "phone",
+        r"[(][0-9]{3}[)][ ]?[0-9]{3}-[0-9]{4}|[0-9]{3}-[0-9]{3}-[0-9]{4}",
+        "<PHONE>",
+    ),
+]
+
+
+def pii_redact(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing — the pre-training privacy pass: replace emails,
+    IPv4 addresses, and phone numbers with typed placeholder tokens and
+    report per-document match counts plus a fingerprint of the cleaned text.
+
+    Redactions apply sequentially in PII_PATTERNS order (emails first: an
+    address containing digits must become <EMAIL>, not a partial <PHONE>);
+    counts are measured per-pattern on the RAW text, so they are independent
+    diagnostics rather than order-dependent residues. Everything is
+    ``regexp_count``/``regexp_replace`` in whole-stage codegen — one scan,
+    no UDF, no shuffle, linear at any corpus size. The placeholder alphabet
+    ('<', '>') never matches any pattern, so redaction is idempotent.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("bigint").alias(f"n_{name}s")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = text
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return documents.select(
+        id_col,
+        *counts,
+        F.length(redacted).cast("bigint").alias("clean_len"),
+        F.md5(redacted).alias("clean_fp"),
+    )

@@ -376,3 +376,154 @@ def test_bpe_train_on_fixture_corpus(spark):
     merges = bpe_train_merges(docs, n_merges=3)
     assert len(merges) == 3
     assert all(cnt >= 2 for _, _, cnt in merges)
+
+
+# ---------------------------------------------------------------------------
+# segment-level dedup / boilerplate
+# ---------------------------------------------------------------------------
+
+
+def _seg_text(*segments):
+    """Join 10-token segments built from a seed word: seg('x') = 'x0 .. x9'."""
+    return " ".join(" ".join(f"{s}{i}" for i in range(10)) for s in segments)
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    from airflow_etl_elt_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, _seg_text("a", "b")),   # A B
+            (2, _seg_text("a", "c")),   # A dup, C fresh
+            (3, _seg_text("b")),        # B dup
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, window=10).collect()}
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (2, 2)
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (2, 1)
+    assert (out[3]["n_segments"], out[3]["n_kept"]) == (1, 0)
+    assert out[2]["kept_tokens"] == 10 and out[2]["kept_ratio"] == 0.5
+    assert out[3]["kept_ratio"] == 0.0
+
+
+def test_segment_dedup_dedups_within_one_doc(spark):
+    from airflow_etl_elt_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(7, _seg_text("a", "a", "a"))], "doc_id bigint, text string"
+    )
+    row = segment_dedup(docs, window=10).collect()[0]
+    assert (row["n_segments"], row["n_kept"], row["kept_tokens"]) == (3, 1, 10)
+
+
+def test_segment_dedup_short_tail_segment_counts(spark):
+    from airflow_etl_elt_spark.operators.dedup import segment_dedup
+
+    # 15 tokens -> one full segment + one 5-token tail, all unique
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(15)))], "doc_id bigint, text string"
+    )
+    row = segment_dedup(docs, window=10).collect()[0]
+    assert (row["n_segments"], row["n_kept"], row["kept_tokens"]) == (2, 2, 15)
+
+
+def test_boilerplate_scoped_by_source_vs_global(spark):
+    from airflow_etl_elt_spark.operators.dedup import boilerplate_segments
+
+    # segment H appears in two srcA docs and one srcB doc
+    docs = spark.createDataFrame(
+        [
+            (1, _seg_text("h", "x"), "srcA"),
+            (2, _seg_text("h", "y"), "srcA"),
+            (3, _seg_text("h", "z"), "srcB"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    per_source = {
+        r["doc_id"]: r["n_boiler"]
+        for r in boilerplate_segments(
+            docs, window=10, min_docs=2, source_col="source"
+        ).collect()
+    }
+    assert per_source == {1: 1, 2: 1, 3: 0}  # srcB's lone copy is not boilerplate
+    global_scope = {
+        r["doc_id"]: r["n_boiler"]
+        for r in boilerplate_segments(docs, window=10, min_docs=2).collect()
+    }
+    assert global_scope == {1: 1, 2: 1, 3: 1}  # all three copies flagged
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_counts_and_fingerprint(spark):
+    import hashlib
+    import re
+
+    from airflow_etl_elt_spark.operators.text import PII_PATTERNS, pii_redact
+
+    rows = [
+        (1, "contact alice.smith+spam@example.co.uk or bob@test.io today"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (3, "call (555) 123-4567 or 555-987-6543 now"),
+        (4, "mixed: eve@corp.com from 8.8.8.8 dialed 111-222-3333"),
+        (5, "no pii here at all"),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (2, 0, 0)
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 2, 0)
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 2)
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (1, 1, 1)
+    assert (out[5]["n_emails"], out[5]["n_ips"], out[5]["n_phones"]) == (0, 0, 0)
+    assert out[6]["clean_len"] == 0  # NULL text redacts to empty, not NULL
+    # fingerprint must equal an independent Python re replay (same leftmost-
+    # first semantics as Java regex / RE2 for these patterns)
+    for doc_id, raw in rows:
+        expect = raw or ""
+        for _, pat, token in PII_PATTERNS:
+            expect = re.sub(pat, token, expect)
+        assert out[doc_id]["clean_fp"] == hashlib.md5(expect.encode()).hexdigest()
+        assert out[doc_id]["clean_len"] == len(expect)
+    # idempotent: redacting already-redacted text changes nothing
+    redacted = spark.createDataFrame(
+        [(1, "<EMAIL> met <IP> at <PHONE>")], "doc_id bigint, text string"
+    )
+    row = pii_redact(redacted).collect()[0]
+    assert (row["n_emails"], row["n_ips"], row["n_phones"]) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sample_rates_clamp_and_determinism(spark):
+    from airflow_etl_elt_spark.operators.relational import mixture_sample
+
+    rows = (
+        [(i, "g0") for i in range(10)]
+        + [(100 + i, "g1") for i in range(1000)]
+        + [(5000 + i, "g2") for i in range(50)]  # unlisted -> excluded
+    )
+    df = spark.createDataFrame(rows, "k bigint, grp string")
+    out = mixture_sample(
+        df, "grp", {"g0": 5000, "g1": 5000}, total_permyriad=2000, key_col="k"
+    )
+    got = out.groupBy("grp").count().collect()
+    by_grp = {r["grp"]: r["count"] for r in got}
+    # n_out = 1060*2000//10000 = 212; g0 rate = 5000*212//10 -> clamps to 100%
+    assert by_grp.get("g0") == 10
+    # g1 rate = 5000*212//1000 = 1060 of 10000 buckets (~10.6% of 1000 rows)
+    assert 60 <= by_grp.get("g1", 0) <= 160
+    assert "g2" not in by_grp
+    # deterministic: identical kept set on a re-run
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(r["k"] for r in out.collect())
+    assert a == b
+    # schema passthrough: no helper columns leak
+    assert out.columns == ["grp", "k"] or out.columns == ["k", "grp"]
