@@ -198,57 +198,35 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 
     Cost-based, two regimes on the Catalyst size estimate:
 
-    - **Below the threshold** — ONE Arrow-batched group-apply: each group's
-      rows shuffle to one task and NumPy computes all six stats (median is a
-      C quickselect). Exact median is the one aggregate Spark's built-ins
-      genuinely can't do efficiently: ``F.median``/``percentile`` buffer each
-      group in an interpreted OpenHashMap aggregation state — measured ~1.2 s
-      vs ~0.8 s for this path at 600k rows × 3 groups (and 22 s vs ~2 s at
-      6M) with identical results. Memory is the same class as ``F.median``
-      (one group per task), but as packed C doubles instead of boxed JVM
-      entries — which is why the same size threshold governs both.
+    - **Below the threshold** — ONE fused JVM aggregation including
+      ``F.median``: a single scan + shuffle, every stat partial-aggregates
+      except the median buffer, which is bounded by the threshold. Measured
+      0.40 s at 600k rows × 3 groups on a quiet VM — 2.1x faster than an
+      Arrow-batched NumPy group-apply (0.85 s), which pays the Python
+      worker round-trip for data the JVM buffers comfortably. (An earlier
+      contention-window measurement ranked them the other way — SCALING.md
+      round-3 addendum records the re-measurement.)
     - **Above it** — stay fully JVM and state-bounded: the streaming stats
       partial-aggregate map-side, FUSED into the same scan as the median's
       sketch pass (all mergeable aggregation states, one collect of #groups
       rows); only the bracketed selection pass (see ``grouped_exact_median``)
       touches the data again. 2 scans, no full-data shuffle, state
-      O(n/accuracy) — the 100 TB path.
+      O(n/accuracy) — the 100 TB path (``F.median`` buffers one task per
+      group: measured 22 s at 6M rows vs 2.8 s bracketed).
     """
-    import numpy as np
-    import pandas as pd
-
     from pyspark.sql import types as T
 
     if _plan_size_bytes(df.select(group_col, value_col)) < _MEDIAN_SMALL_BYTES:
-        gtype = df.schema[group_col].dataType.simpleString()
-        out_schema = (
-            f"{group_col} {gtype}, mean_val double, median_val double, "
-            "std_val double, min_val double, max_val double, cnt long"
-        )
-
-        def stats_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            x = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
-            nn = x[~np.isnan(x)]  # F.median/avg ignore NULLs; cnt counts rows
-            if len(nn):
-                stats = {
-                    "mean_val": float(nn.mean()),
-                    "median_val": float(np.median(nn)),
-                    "std_val": float(nn.std(ddof=1)) if len(nn) > 1 else None,
-                    "min_val": float(nn.min()),
-                    "max_val": float(nn.max()),
-                }
-            else:
-                stats = dict.fromkeys(
-                    ("mean_val", "median_val", "std_val", "min_val", "max_val")
-                )
-            return pd.DataFrame(
-                [{group_col: pdf[group_col].iloc[0], **stats, "cnt": len(pdf)}]
-            )
-
         return (
-            df.select(group_col, F.col(value_col).cast("double").alias(value_col))
-            .groupBy(group_col)
-            .applyInPandas(stats_fn, out_schema)
+            df.groupBy(group_col)
+            .agg(
+                F.avg(value_col).alias("mean_val"),
+                F.median(value_col).cast("double").alias("median_val"),
+                F.stddev_samp(value_col).alias("std_val"),
+                F.min(value_col).cast("double").alias("min_val"),
+                F.max(value_col).cast("double").alias("max_val"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
             .orderBy(F.col(group_col).desc())
         )
 

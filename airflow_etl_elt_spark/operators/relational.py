@@ -270,3 +270,41 @@ def mixture_sample(
     return joined.filter(_md5_bucket(key_col, buckets) < F.col("__rate")).drop(
         "__cnt", "__n", "__share", "__nout", "__rate"
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the last step of a training
+    data pipeline: spread rows pseudo-randomly across ``n_shards`` output
+    shards and fix a pseudo-random serving order inside each shard, so the
+    training job reads shard files sequentially yet sees a well-mixed
+    stream. ``salt`` reshuffles: epoch-N order = shuffle_shards(salt=str(N)).
+
+    Everything is a pure function of (key, salt): re-runs, engines, and
+    cluster sizes agree byte-for-byte — the reproducibility contract a
+    training run needs to resume mid-epoch — and the op is exactly
+    oracle-checkable. Shard = md5-bucket of the salted key; position =
+    rank by (md5 hash, key) within the shard.
+
+    Scale shape: one hash per row at scan time, one shuffle on shard id,
+    one sort within each shard (Spark sorts spill gracefully; no global
+    sort, no driver funnel). Shard skew is md5-uniform: ±O(sqrt(rows/shard)).
+    Downstream, write with ``partitionBy(shard)`` so each shard lands as
+    its own file set.
+    """
+    from pyspark.sql import Window
+
+    salted = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    hash15 = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+    with_shard = df.withColumn("shard", (hash15 % n_shards).cast("bigint")).withColumn(
+        "__h", hash15
+    )
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return (
+        with_shard.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("__h")
+    )

@@ -527,3 +527,35 @@ def test_mixture_sample_rates_clamp_and_determinism(spark):
     assert a == b
     # schema passthrough: no helper columns leak
     assert out.columns == ["grp", "k"] or out.columns == ["k", "grp"]
+
+
+# ---------------------------------------------------------------------------
+# shard shuffling
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shards_partition_and_order_invariants(spark):
+    from airflow_etl_elt_spark.operators.relational import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k bigint")
+    out = shuffle_shards(df, "k", n_shards=8, salt="0")
+    rows = out.collect()
+    # every row exactly once, shards in range
+    assert sorted(r["k"] for r in rows) == list(range(1000))
+    assert {r["shard"] for r in rows} <= set(range(8))
+    # positions are 1..n_s contiguous within each shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # md5-uniform balance: 1000 rows / 8 shards = 125 +- wide slack
+    assert all(60 <= len(ps) <= 190 for ps in by_shard.values())
+    # deterministic across runs; different salt reshuffles
+    again = {(r["k"], r["shard"], r["pos"]) for r in out.collect()}
+    assert again == {(r["k"], r["shard"], r["pos"]) for r in rows}
+    other = {
+        (r["k"], r["shard"], r["pos"])
+        for r in shuffle_shards(df, "k", n_shards=8, salt="1").collect()
+    }
+    assert other != again
