@@ -3,11 +3,12 @@ image decode / resize / frame-sample as Arrow-batched mapInPandas stages.
 
 North-star operators (no reference counterpart — the reference is tabular
 only). Formats decoded natively, no codec library needed: PPM/P6 (netpbm),
-uncompressed 24-bit BMP (dims), and REAL PNG — full chunk-walk + zlib
-inflate + scanline un-filtering in stdlib+NumPy (``decode_png``), with a
-matching encoder so fixtures exercise genuine compressed payloads. JPEG is
-dims-only (SOF scan; entropy decode needs a real codec — ``_pil_dims``
-upgrades it behind an import-try on hosts with PIL).
+uncompressed 24-bit BMP (dims), REAL PNG — full chunk-walk + zlib inflate +
+scanline un-filtering in stdlib+NumPy (``decode_png``) — and REAL baseline
+JPEG — full Huffman entropy decode + dequant + IDCT + chroma upsampling
+(``operators/_jpeg.py``). Both compressed formats ship matching encoders so
+fixtures exercise genuine compressed payloads; ``_pil_dims`` still takes
+the fast path behind an import-try on hosts with PIL.
 
 The fixture adapter renders each document's text into a REAL PPM image
 (valid header, real pixel bytes), so decode/resize exercise actual format
@@ -40,6 +41,7 @@ FEATURE_SCHEMA = "media_id bigint, media_type string, width int, height int, n_b
 PPM_MIME = "image/x-portable-pixmap"
 BMP_MIME = "image/bmp"
 PNG_MIME = "image/png"
+JPEG_MIME = "image/jpeg"
 
 
 # --------------------------------------------------------------------------
@@ -131,7 +133,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     non-interlaced — the shapes pipelines actually produce. Palette,
     16-bit, and Adam7 raise ValueError naming the unsupported feature.
     This closes VERDICT r2 missing-item 2 for PNG without any codec
-    library; JPEG stays dims-only (DCT entropy decode is out of scope).
+    library; baseline JPEG gets the same treatment in operators/_jpeg.py.
     """
     import zlib
 
@@ -206,9 +208,11 @@ def decode_bmp_dims(payload: bytes) -> tuple[int, int]:
 def decode_dims(payload: bytes, media_type: str | None = None) -> tuple[int, int]:
     """Sniff + decode width/height from REAL payload bytes.
 
-    PPM and BMP are parsed natively; recognizable compressed formats get an
-    explicit NotImplementedError (the honest boundary: this container has no
-    codec libraries); anything else is a ValueError.
+    Every supported container is parsed natively: PPM/BMP raster headers,
+    the PNG IHDR chunk, and the JPEG SOF marker — dims always precede the
+    compressed data, so this path never inflates or entropy-decodes
+    (full pixel decode is ``decode_pixels``). Unrecognized payloads are a
+    ValueError.
     """
     if payload.startswith(b"P6"):
         px = decode_ppm(payload)
@@ -270,12 +274,15 @@ def _jpeg_sof_dims(payload: bytes) -> tuple[int, int]:
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Render each document's text into a real image: dimensions derived
     from the text length (deterministic), pixels = the UTF-8 bytes tiled
-    across the raster. Even doc_ids render as PPM, odd ones as REAL
-    zlib-compressed PNG — so downstream decode/resize exercise both an
-    uncompressed and a compressed codec against genuine payloads, not
-    metadata echo."""
+    across the raster. doc_id mod 3 picks the container — PPM (raw), REAL
+    zlib-compressed PNG, or REAL entropy-coded baseline JPEG (alternating
+    4:4:4 / 4:2:0 chroma layouts) — so downstream decode/resize exercise an
+    uncompressed, a lossless-compressed, and a lossy DCT codec against
+    genuine payloads, not metadata echo."""
 
     def render_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from airflow_etl_elt_spark.operators._jpeg import encode_jpeg
+
         for pdf in batches:
             payloads, metas, mimes = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -286,9 +293,14 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
                 h = 16 + (len(data) // 7 % 48)
                 tiled = np.resize(np.frombuffer(data or b"\0", dtype=np.uint8), w * h * 3)
                 px = tiled.reshape(h, w, 3)
-                if int(doc_id) % 2:
+                form = int(doc_id) % 3
+                if form == 1:
                     payloads.append(encode_png(px))
                     mimes.append(PNG_MIME)
+                elif form == 2:
+                    sub = "420" if (int(doc_id) // 3) % 2 else "444"
+                    payloads.append(encode_jpeg(px, subsampling=sub))
+                    mimes.append(JPEG_MIME)
                 else:
                     payloads.append(encode_ppm(px))
                     mimes.append(PPM_MIME)
@@ -356,24 +368,30 @@ def extract_media_features(
 
 
 def decode_pixels(payload: bytes) -> np.ndarray:
-    """Full pixel decode for the natively-supported formats (PPM + PNG).
-    BMP/JPEG stay dims-only; anything else is a ValueError."""
+    """Full pixel decode for the natively-supported formats (PPM, PNG, and
+    baseline JPEG). BMP stays dims-only; anything else is a ValueError."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from airflow_etl_elt_spark.operators._jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError("no native pixel decoder for this payload")
 
 
 def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
-    """REAL nearest-neighbor resize for PPM and PNG payloads: decode the
-    raster, stride-sample rows/columns to (target_h, target_w), re-encode
-    in the SOURCE format. Other payloads raise (same boundary as
-    decode_dims).
+    """REAL nearest-neighbor resize for PPM, PNG, and baseline JPEG
+    payloads: decode the raster, stride-sample rows/columns to
+    (target_h, target_w), re-encode in the SOURCE format. Other payloads
+    raise (same boundary as decode_dims).
     """
     out_schema = "media_id bigint, payload binary, width int, height int, n_bytes bigint"
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from airflow_etl_elt_spark.operators._jpeg import encode_jpeg
+
         for pdf in batches:
             resized = []
             for payload in pdf["payload"]:
@@ -383,9 +401,12 @@ def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> Da
                 rows = (np.arange(target_h) * h // target_h).clip(0, h - 1)
                 cols = (np.arange(target_w) * w // target_w).clip(0, w - 1)
                 small = px[rows][:, cols]
-                resized.append(
-                    encode_png(small) if b[:8] == b"\x89PNG\r\n\x1a\n" else encode_ppm(small)
-                )
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    resized.append(encode_png(small))
+                elif b[:3] == b"\xff\xd8\xff":
+                    resized.append(encode_jpeg(small))
+                else:
+                    resized.append(encode_ppm(small))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

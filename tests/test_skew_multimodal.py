@@ -65,13 +65,13 @@ def test_resize_media_output_contract(spark):
     for r in out:
         assert r["width"] == 8 and r["height"] == 4
         assert r["n_bytes"] == len(r["payload"])
-        # the payload is a REAL image (PPM or PNG per the source format):
+        # the payload is a REAL image (PPM/PNG/JPEG per the source format):
         # decoding it yields the target raster
         b = bytes(r["payload"])
         formats.add(b[:2])
         px = decode_pixels(b)
         assert px.shape == (4, 8, 3)
-    assert formats == {b"P6", b"\x89P"}  # both codecs exercised
+    assert formats == {b"P6", b"\x89P", b"\xff\xd8"}  # all three codecs exercised
 
 
 def test_resize_media_deterministic(spark):
@@ -262,4 +262,169 @@ def test_resize_media_handles_png_payloads(spark):
     assert len(out) == 4
     for r in out:
         px = decode_png(bytes(r["payload"]))
+        assert px.shape == (8, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (operators/_jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def _gradient(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 255 // max(h + w - 2, 1),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_zigzag_is_antidiagonal_permutation():
+    from airflow_etl_elt_spark.operators._jpeg import ZIGZAG
+
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    rc = [(i // 8, i % 8) for i in ZIGZAG]
+    # defining property: anti-diagonal index never decreases along the scan
+    assert all(
+        rc[k][0] + rc[k][1] <= rc[k + 1][0] + rc[k + 1][1] for k in range(63)
+    )
+
+
+def test_jpeg_huffman_tables_are_valid_canonical_codes():
+    from airflow_etl_elt_spark.operators._jpeg import (
+        AC_CHROMA_BITS,
+        AC_CHROMA_VALS,
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_CHROMA_BITS,
+        DC_CHROMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _canonical_codes,
+    )
+
+    for bits, vals in [
+        (DC_LUMA_BITS, DC_LUMA_VALS),
+        (AC_LUMA_BITS, AC_LUMA_VALS),
+        (DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]:
+        codes = _canonical_codes(bits, vals)  # raises on overflow/mismatch
+        assert len(codes) == len(vals)
+        # prefix-free: no code is a prefix of a longer one
+        as_strings = sorted(
+            format(c, f"0{n}b") for c, n in codes.values()
+        )
+        for a, b in zip(as_strings, as_strings[1:]):
+            assert not b.startswith(a)
+
+
+def test_jpeg_roundtrip_within_quantization_error():
+    import numpy as np
+
+    from airflow_etl_elt_spark.operators._jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient(37, 53)  # deliberately not multiples of 8/16
+    for sub in ("444", "420"):
+        dec = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        # smooth content through the Annex-K tables: small mean error,
+        # bounded worst pixel (420 pays extra for chroma averaging)
+        assert err.mean() < 5.0
+        assert err.max() <= 40
+
+
+def test_jpeg_grayscale_and_noise_roundtrip():
+    import numpy as np
+
+    from airflow_etl_elt_spark.operators._jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:21, 0:19]
+    gray = ((xx * 7 + yy * 3) % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(gray))
+    assert dec.shape == gray.shape and dec.ndim == 2
+    # noise is the worst case for a lossy codec: only structural guarantees
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(noise, subsampling="420"))
+    assert dec.shape == noise.shape
+
+
+def test_jpeg_dims_and_sniffing_paths():
+    from airflow_etl_elt_spark.operators._jpeg import encode_jpeg
+    from airflow_etl_elt_spark.operators.multimodal import (
+        _jpeg_sof_dims,
+        decode_dims,
+        decode_pixels,
+    )
+
+    img = _gradient(40, 30)
+    enc = encode_jpeg(img)
+    assert _jpeg_sof_dims(enc) == (30, 40)
+    assert decode_dims(enc) == (30, 40)  # SOF scan, no entropy decode
+    assert decode_pixels(enc).shape == (40, 30, 3)
+
+
+def test_jpeg_unsupported_features_raise():
+    import pytest
+
+    from airflow_etl_elt_spark.operators._jpeg import decode_jpeg, encode_jpeg
+
+    enc = bytearray(encode_jpeg(_gradient(16, 16)))
+    # rewrite SOF0 (0xFFC0) into progressive SOF2 -> named refusal
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(_gradient(8, 8), subsampling="422")
+
+
+def test_documents_as_media_emits_all_three_codecs(spark):
+    from airflow_etl_elt_spark.operators.multimodal import (
+        JPEG_MIME,
+        PNG_MIME,
+        PPM_MIME,
+        documents_as_media,
+        extract_media_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} " * (3 + i)) for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    media = documents_as_media(docs)
+    mimes = {r["media_id"]: r["media_type"] for r in media.collect()}
+    assert {mimes[k] for k in mimes} == {PPM_MIME, PNG_MIME, JPEG_MIME}
+    feats = extract_media_features(media, with_dims_check=True).collect()
+    assert len(feats) == 12
+    assert all(r["dims_match"] for r in feats)  # JPEG dims parse exactly
+
+
+def test_resize_media_reencodes_jpeg_in_source_format(spark):
+    from airflow_etl_elt_spark.operators._jpeg import decode_jpeg, encode_jpeg
+    from airflow_etl_elt_spark.operators.multimodal import resize_media
+
+    rows = [
+        (i, bytearray(encode_jpeg(_gradient(40, 30), subsampling=s)), "image/jpeg",
+         (0, 30, 40))
+        for i, s in [(0, "444"), (1, "420")]
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, payload binary, media_type string, "
+        "meta struct<n_bytes: bigint, declared_w: int, declared_h: int>",
+    )
+    out = resize_media(media, target_w=8, target_h=8).collect()
+    assert len(out) == 2
+    for r in out:
+        px = decode_jpeg(bytes(r["payload"]))  # still a JPEG payload
         assert px.shape == (8, 8, 3)
