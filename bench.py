@@ -108,7 +108,11 @@ def main() -> None:
     # across the whole bench window so the min finds a quiet slice.
     # Steady-state throughput — not scheduler-noise worst case — is the
     # number comparable to the baseline.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # 7 rounds: this VM's CPU-steal bursts last tens of seconds; widening the
+    # interleaved window gives each query more chances to land a sample in a
+    # quiet slice (observed: 5 rounds still left whole-bench windows inside
+    # one burst, inflating every ratio ~40%).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
     timings = {key: float("inf") for key in HEADLINE}
     errors: dict[str, str] = {}
     for _ in range(runs):
