@@ -195,8 +195,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.i >= len(self.data):
+            raise ValueError("truncated JPEG entropy-coded data")
         b = self.data[self.i]
         if b == 0xFF:
+            if self.i + 1 >= len(self.data):
+                raise ValueError("truncated JPEG entropy-coded data")
             nxt = self.data[self.i + 1]
             if nxt == 0x00:
                 self.i += 2  # stuffed literal 0xFF
@@ -522,10 +526,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], _HuffLookup] = {}
     sof = None
     restart_interval = 0
-    while i + 4 <= len(payload):
+    while i + 2 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("marker expected in JPEG header")
+        # Legal 0xFF fill bytes may pad between segments (T.81 B.1.1.2).
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
+        # Standalone markers carry NO length field: TEM, RST0-7, SOI.
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOS: nothing to decode
+            raise ValueError("EOI before SOS in JPEG payload")
+        if i + 4 > len(payload):
+            raise ValueError("truncated JPEG header segment")
         if marker in (0xC2, 0xC6, 0xCA, 0xCE):
             raise ValueError("unsupported progressive JPEG (SOF2-family)")
         if marker in (0xC9, 0xCB, 0xCD):
@@ -533,6 +548,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0xC3, 0xC5, 0xC7, 0xCF):
             raise ValueError("unsupported JPEG process")
         seg_len = struct.unpack_from(">H", payload, i + 2)[0]
+        if seg_len < 2 or i + 2 + seg_len > len(payload):
+            raise ValueError("truncated or corrupt JPEG segment length")
         data = payload[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
             j = 0
@@ -568,6 +585,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if sof is None:
                 raise ValueError("SOS before SOF")
             ns = data[0]
+            if ns != len(sof["comps"]):
+                raise ValueError(
+                    "unsupported multi-scan JPEG: first SOS covers "
+                    f"{ns} of {len(sof['comps'])} frame components"
+                )
             scan_map = {}
             for c in range(ns):
                 cid, tabs = data[1 + c * 2], data[2 + c * 2]
@@ -610,9 +632,14 @@ def _decode_scan(
                 preds = [0] * len(comps)
             try:
                 for ci, c in enumerate(comps):
-                    dc_tab = htables[(0, scan_map[c["id"]][0])]
-                    ac_tab = htables[(1, scan_map[c["id"]][1])]
-                    quant = qtables[c["tq"]]
+                    try:
+                        dc_tab = htables[(0, scan_map[c["id"]][0])]
+                        ac_tab = htables[(1, scan_map[c["id"]][1])]
+                        quant = qtables[c["tq"]]
+                    except KeyError as exc:
+                        raise ValueError(
+                            f"JPEG scan references undefined table {exc}"
+                        ) from None
                     for by in range(c["vs"]):
                         for bx in range(c["hs"]):
                             block, preds[ci] = _decode_block(

@@ -220,7 +220,10 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         return (
             df.groupBy(group_col)
             .agg(
-                F.avg(value_col).alias("mean_val"),
+                # avg returns DECIMAL for DECIMAL input; cast pins the
+                # documented double schema (and matches the above-threshold
+                # path, which declares mean_val DoubleType).
+                F.avg(value_col).cast("double").alias("mean_val"),
                 F.median(value_col).cast("double").alias("median_val"),
                 F.stddev_samp(value_col).alias("std_val"),
                 F.min(value_col).cast("double").alias("min_val"),
@@ -235,7 +238,7 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     pre = (
         df.groupBy(group_col)
         .agg(
-            F.avg(value_col).alias("mean_val"),
+            F.avg(value_col).cast("double").alias("mean_val"),
             F.stddev_samp(value_col).alias("std_val"),
             F.min(value_col).alias("min_val"),
             F.max(value_col).alias("max_val"),

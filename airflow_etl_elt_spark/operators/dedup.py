@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from airflow_etl_elt_spark.operators._cache import rotate_persist
+from airflow_etl_elt_spark.operators.text import WS_RE
 from pyspark.sql.functions import pandas_udf
 
 from airflow_etl_elt_spark.sources.readers import fan_out
@@ -136,7 +137,7 @@ def decontaminate(
         # wraps sequence(), and each gram is built once per output row from
         # the bound token column.
         tokd = df.select(
-            F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
+            F.col(id_col), F.split(F.trim(F.col(text_col)), WS_RE).alias("__toks")
         ).filter(F.size("__toks") >= n)
         idx = tokd.select(
             id_col,
@@ -541,7 +542,7 @@ def _token_segments(
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     tokd = documents.select(
-        id_col, *extra_cols, F.split(F.trim(text), r"\s+").alias("__toks")
+        id_col, *extra_cols, F.split(F.trim(text), WS_RE).alias("__toks")
     )
     # ceil(size/window) in exact integer form; split() yields >= 1 token
     # (empty text becomes ['']), so every document has >= 1 segment.

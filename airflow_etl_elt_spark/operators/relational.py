@@ -295,6 +295,13 @@ def shuffle_shards(
     sort, no driver funnel). Shard skew is md5-uniform: ±O(sqrt(rows/shard)).
     Downstream, write with ``partitionBy(shard)`` so each shard lands as
     its own file set.
+
+    Precondition: ``key_col`` must be UNIQUE per row. Two rows sharing a
+    key value get the same hash AND the same tie-break key, so their
+    relative ``pos`` would be engine/run-dependent — which breaks the
+    byte-for-byte reproducibility contract above. Training pipelines have
+    such a key (doc_id / sample_id); if yours doesn't, derive one first
+    (e.g. ``surrogate_key``) rather than passing a non-unique column.
     """
     from pyspark.sql import Window
 

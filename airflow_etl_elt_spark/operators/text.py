@@ -16,6 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Engine-portable whitespace class, used for every tokenizing split on the
+# Spark side AND verbatim in the DuckDB oracle strings (queries.py). Java's
+# \s includes vertical tab (\x0B) but RE2's does not, so a bare \s+ would
+# segment text containing \v differently across the two engines and fail the
+# value-hash oracle. The explicit class pins identical semantics in both.
+WS_RE = r"[ \t\n\x0B\f\r]+"
+
 # Tiny per-language marker-word sets for the n-gram/stopword heuristic.
 # Public-knowledge closed-class words; the heuristic is argmax of hit counts.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -36,7 +43,7 @@ def token_count(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         F.when(F.length(trimmed) == 0, F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .otherwise(F.size(F.split(trimmed, WS_RE)))
         .cast("bigint")
         .alias("n_tokens"),
     )
@@ -48,7 +55,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     filters (cf. C4/Gopher-style rules), all as built-in expressions."""
     trimmed = F.trim(F.col("text"))
     n_chars = F.length(trimmed)
-    n_tokens = F.when(n_chars == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+    n_tokens = F.when(n_chars == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, WS_RE)))
     n_punct = F.regexp_count(trimmed, F.lit(r"[.,;:!?]"))
     n_upper = F.regexp_count(trimmed, F.lit(r"[A-Z]"))
     stop_pattern = r"\b(" + "|".join(LANG_MARKERS["en"]) + r")\b"
@@ -139,7 +146,7 @@ def with_word_ngrams(
     # greatest(0, len(NULL)-k) collapses NULL to an empty gram list, and a
     # NULL row in a regenerated fixture must not flip the driver hash.
     text = F.coalesce(F.col(text_col), F.lit(""))
-    tokd = df.withColumn("__toks", F.split(F.trim(text), r"\s+"))
+    tokd = df.withColumn("__toks", F.split(F.trim(text), WS_RE))
     return tokd.withColumn(out_col, _ngrams_of(F.col("__toks"), n)).drop("__toks")
 
 
@@ -166,7 +173,7 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     text = F.coalesce(F.col(text_col), F.lit(""))
-    tokd = documents.withColumn("__toks", F.split(F.trim(text), r"\s+"))
+    tokd = documents.withColumn("__toks", F.split(F.trim(text), WS_RE))
     # n_chunks = 1 + max(0, ceil((size - chunk) / stride)), integer form
     n_extra = F.greatest(
         F.lit(0),
@@ -245,7 +252,7 @@ def tfidf_top_terms(documents: DataFrame, k: int = 1) -> DataFrame:
 
     tokens = documents.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), WS_RE)).alias("term"),
     ).filter(F.col("term") != "")
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -276,7 +283,7 @@ def rolling_fingerprint(documents: DataFrame) -> DataFrame:
     """
     p = (1 << 31) - 1
     tokens = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+        F.split(F.lower(F.trim(F.col("text"))), WS_RE), lambda t: t != ""
     )
     token_hashes = F.transform(
         tokens,
@@ -297,7 +304,7 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     instead of full documents. md5 here is a content hash, not a security
     primitive.
     """
-    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), WS_RE, " "))
     return documents.select(
         "doc_id",
         F.md5(normalized.cast("binary")).alias("fp"),
@@ -329,7 +336,7 @@ def bpe_train_merges(
         documents.select(
             F.explode(
                 F.filter(
-                    F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+                    F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), WS_RE),
                     lambda t: t != "",
                 )
             ).alias("w")

@@ -674,7 +674,7 @@ def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     token asc). Explode + two-phase agg; the sort is on the tiny agg."""
     docs = fan_out(read_table(spark, sf, "documents"))
     tokens = docs.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), text.WS_RE)).alias("token")
     ).filter(F.col("token") != "")
     return (
         tokens.groupBy("token")
@@ -1858,7 +1858,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_count": r"""
         SELECT doc_id,
                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+                         ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS BIGINT)
                  AS n_tokens
         FROM documents ORDER BY doc_id
     """,
@@ -1869,7 +1869,7 @@ ORACLE_SQL: dict[str, str] = {
           SELECT doc_id,
                  length(t) AS n_chars_measured,
                  CASE WHEN length(t) = 0 THEN 0
-                      ELSE len(string_split_regex(t, '\s+')) END AS n_tokens,
+                      ELSE len(string_split_regex(t, '[ \t\n\x0B\f\r]+')) END AS n_tokens,
                  length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g')) AS n_punct,
                  length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')) AS n_upper,
                  len(regexp_extract_all(t, '\b(the|and|of|to|in|is)\b', 0)) AS n_stop
@@ -1976,7 +1976,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "top_tokens": r"""
         SELECT token, count(*) AS cnt FROM (
-          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS token
           FROM documents)
         WHERE token <> ''
         GROUP BY token ORDER BY cnt DESC, token LIMIT 20
@@ -1984,7 +1984,7 @@ ORACLE_SQL: dict[str, str] = {
     # tf-idf / outer joins / cube / ranks / scalar suites
     "tfidf_top_terms": r"""
         WITH tokens AS (
-          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term
           FROM documents),
         tf AS (
           SELECT doc_id, term, count(*) AS tf FROM tokens WHERE term <> ''
@@ -2257,7 +2257,7 @@ ORACLE_SQL: dict[str, str] = {
     # space-joined window; first occurrence by (doc_id, seg_idx) wins
     "segment_dedup": r"""
         WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS t
+          SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0B\f\r]+') AS t
           FROM documents),
         seg AS (
           SELECT doc_id, j AS seg_idx,
@@ -2277,7 +2277,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "boilerplate_segments": r"""
         WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS t
+          SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0B\f\r]+') AS t
           FROM documents),
         seg AS (
           SELECT doc_id, j AS seg_idx,
@@ -2353,7 +2353,7 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard": r"""
         WITH toks AS (
           SELECT doc_id,
-                 unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 unnest(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                                     t -> t <> '')) AS tok
           FROM documents),
         h AS (
@@ -2392,7 +2392,7 @@ ORACLE_SQL: dict[str, str] = {
                  list_distinct(list_transform(generate_series(1, greatest(1, len(t2) - 2)),
                                               i -> array_to_string(t2[i : i + 2], ' '))) AS g
           FROM (SELECT doc_id,
-                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '[ \t\n\x0B\f\r]+'),
                                    t -> t <> '') AS t2
                 FROM documents))
         SELECT p.id_a, p.id_b,
@@ -2411,7 +2411,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": r"""
         WITH toks AS (
           SELECT doc_id,
-                 unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 unnest(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                                     t -> t <> '')) AS tok
           FROM documents),
         h AS (
@@ -2501,7 +2501,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "chunk_documents": r"""
         WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS t
+          SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0B\f\r]+') AS t
           FROM documents),
         c AS (
           SELECT doc_id,
@@ -2517,7 +2517,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "repetition_score": r"""
         WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+          SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
         g AS (
           SELECT doc_id,
                  list_transform(generate_series(1, greatest(0, len(t) - 2)),
@@ -2535,7 +2535,7 @@ ORACLE_SQL: dict[str, str] = {
     # surviving set absent a 64-bit collision (documented in decontaminate)
     "decontaminate": r"""
         WITH toks AS (
-          SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+          SELECT doc_id, source, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
           FROM documents),
         g AS (
           SELECT doc_id, source,
@@ -2571,7 +2571,7 @@ ORACLE_SQL: dict[str, str] = {
           list_reduce(
             list_prepend(CAST(0 AS BIGINT),
               list_transform(
-                list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''),
+                list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), t -> t <> ''),
                 t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
             (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
         FROM documents
@@ -2586,7 +2586,7 @@ ORACLE_SQL: dict[str, str] = {
         WHERE cosine >= 0.4
     """,
     "doc_fingerprint": r"""
-        SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        SELECT doc_id, md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
         FROM documents ORDER BY doc_id
     """,
     # dedup

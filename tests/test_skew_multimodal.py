@@ -388,6 +388,47 @@ def test_jpeg_unsupported_features_raise():
         encode_jpeg(_gradient(8, 8), subsampling="422")
 
 
+def test_jpeg_malformed_streams_raise_named_errors():
+    """T.81 edge cases (ADVICE r3): fill bytes, standalone markers, stray
+    EOI, truncated data, and multi-scan subsets must parse or raise a named
+    ValueError — never IndexError/KeyError."""
+    import numpy as np
+    import pytest
+
+    from airflow_etl_elt_spark.operators._jpeg import decode_jpeg, encode_jpeg
+
+    base = encode_jpeg(_gradient(16, 16))
+    ref = decode_jpeg(base)
+
+    # Legal 0xFF fill bytes + a standalone TEM marker between header
+    # segments must be skipped transparently (identical decode).
+    padded = base[:2] + b"\xff\xff" + b"\xff\x01" + base[2:]
+    assert np.array_equal(decode_jpeg(padded), ref)
+
+    # SOI immediately followed by EOI: named refusal, not a silent loop end.
+    with pytest.raises(ValueError, match="EOI before SOS"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+
+    # Entropy data cut mid-stream: named truncation error, not IndexError.
+    sos = base.find(b"\xff\xda")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(base[: sos + 20])
+
+    # Header segment whose declared length runs past the payload.
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        decode_jpeg(base[: sos + 5])
+
+    # First SOS covering a subset of frame components (multi-scan baseline):
+    # named refusal, not a KeyError deep in the MCU loop.
+    mut = bytearray(base)
+    mut[sos + 4] = 1  # ns: 3 -> 1 (keeps only the first scan component)
+    # shrink the SOS segment length to match (2 len + 1 ns + 2*ns + 3 tail)
+    mut[sos + 2 : sos + 4] = (2 + 1 + 2 * 1 + 3).to_bytes(2, "big")
+    del mut[sos + 7 : sos + 11]  # drop the two removed component specs
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(bytes(mut))
+
+
 def test_documents_as_media_emits_all_three_codecs(spark):
     from airflow_etl_elt_spark.operators.multimodal import (
         JPEG_MIME,
