@@ -33,14 +33,36 @@ _MEDIAN_SMALL_BYTES = int(
 )
 
 
+_PLAN_SIZE_CACHE: dict[tuple[str, int], int] = {}
+
+
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for the optimized plan (bytes). This is the
     same statistic the optimizer itself uses to pick broadcast joins —
     file-size x column-fraction for parquet scans, so it is cheap (no job)
     and conservative. Returns a huge sentinel when unavailable so callers
-    fall back to the scale-safe path."""
+    fall back to the scale-safe path.
+
+    Memoized per (application, semanticHash of the ANALYZED plan):
+    re-running optimization for the estimate costs ~34 ms of driver time,
+    which cost-gated operators would otherwise re-pay on EVERY invocation;
+    semanticHash is ~1.2 ms. The UNanalyzed plan string would be the wrong
+    key — Spark 4 prints a fresh parquet read as "UnresolvedDataSource …
+    paths: 1 provided" with no path, so different tables collide.
+    Session-lived, same staleness contract as the reader's relation cache —
+    fixture files don't change mid-session.
+    """
     try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df.semanticHash(),
+        )
+        cached = _PLAN_SIZE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        _PLAN_SIZE_CACHE[key] = size
+        return size
     except Exception:
         return 1 << 62
 
@@ -198,14 +220,20 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 
     Cost-based, two regimes on the Catalyst size estimate:
 
-    - **Below the threshold** — ONE fused JVM aggregation including
-      ``F.median``: a single scan + shuffle, every stat partial-aggregates
-      except the median buffer, which is bounded by the threshold. Measured
-      0.40 s at 600k rows × 3 groups on a quiet VM — 2.1x faster than an
-      Arrow-batched NumPy group-apply (0.85 s), which pays the Python
-      worker round-trip for data the JVM buffers comfortably. (An earlier
-      contention-window measurement ranked them the other way — SCALING.md
-      round-3 addendum records the re-measurement.)
+    - **Below the threshold** — ONE Arrow-batched NumPy group-apply
+      (``applyInPandas``): a single shuffle of the two projected columns,
+      all six stats from one in-memory array per group. Re-measured r4 over
+      5-run brackets in one session: 0.72-0.79 s at 600k rows × 4 groups vs
+      1.47-1.80 s for the fused JVM ``F.median`` aggregation (and 1.53+ for
+      its SortAggregate fallback, 1.36 for a window-rank median, 2.6 for a
+      value-histogram median) — the JVM median's ObjectHashAggregate buffers
+      every value as boxed objects through partial AND final phases, paying
+      allocation+GC on both sides of the shuffle, where Arrow moves the
+      same 10 MB as columnar batches into numpy's quickselect. (r2's
+      opposite ranking — 0.40 s fused vs 0.85 s Arrow — was measured with a
+      3.5x-colder Python worker pool; SCALING.md round-4 addendum records
+      the re-flip.) Per-group materialization is exactly what the size gate
+      licenses.
     - **Above it** — stay fully JVM and state-bounded: the streaming stats
       partial-aggregate map-side, FUSED into the same scan as the median's
       sketch pass (all mergeable aggregation states, one collect of #groups
@@ -214,23 +242,45 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
       O(n/accuracy) — the 100 TB path (``F.median`` buffers one task per
       group: measured 22 s at 6M rows vs 2.8 s bracketed).
     """
+    import pandas as pd
+
     from pyspark.sql import types as T
 
     if _plan_size_bytes(df.select(group_col, value_col)) < _MEDIAN_SMALL_BYTES:
-        return (
-            df.groupBy(group_col)
-            .agg(
-                # avg returns DECIMAL for DECIMAL input; cast pins the
-                # documented double schema (and matches the above-threshold
-                # path, which declares mean_val DoubleType).
-                F.avg(value_col).cast("double").alias("mean_val"),
-                F.median(value_col).cast("double").alias("median_val"),
-                F.stddev_samp(value_col).alias("std_val"),
-                F.min(value_col).cast("double").alias("min_val"),
-                F.max(value_col).cast("double").alias("max_val"),
-                F.count(F.lit(1)).alias("cnt"),
+        gtype = df.schema[group_col].dataType.simpleString()
+
+        def _np_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            x = pdf[value_col].dropna().to_numpy(dtype=float)
+            n = x.size
+            return pd.DataFrame(
+                {
+                    group_col: [pdf[group_col].iloc[0]],
+                    "mean_val": [float(x.mean()) if n else None],
+                    "median_val": [float(np.median(x)) if n else None],
+                    # ddof=1: pandas/reference sample std (SURVEY hazard 3)
+                    "std_val": [float(x.std(ddof=1)) if n > 1 else None],
+                    "min_val": [float(x.min()) if n else None],
+                    "max_val": [float(x.max()) if n else None],
+                    # count(*) semantics: every row, null values included
+                    "cnt": [len(pdf)],
+                }
             )
-            .orderBy(F.col(group_col).desc())
+
+        from airflow_etl_elt_spark.operators.relational import ordered_small
+
+        # output is #groups rows → ordered_small, no range exchange
+        return ordered_small(
+            df.select(group_col, value_col)
+            .groupBy(group_col)
+            .applyInPandas(
+                _np_stats,
+                f"{group_col} {gtype}, mean_val double, median_val double, "
+                "std_val double, min_val double, max_val double, cnt long",
+            ),
+            group_col,
+            desc=True,
         )
 
     accuracy = 1000

@@ -91,7 +91,19 @@ def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc
     texts merged) vanishingly unlikely (~n²/2¹²⁹); pipelines that cannot
     tolerate even that use the md5 pass as a candidate filter and re-verify
     the rare multi-member groups against the raw text.
+
+    Cost-gated single-partition regime: below the small-input bound the
+    whole scan+hash+agg collapses into ONE task with NO exchange
+    (``coalesce(1)`` is narrow, and its SinglePartition output satisfies
+    the aggregation's distribution requirement) — measured 0.31 s → 0.17 s
+    at sf0.1, where two AQE stage-jobs dominated a 5 MB input. Exactly how
+    embedded engines run tiny inputs on one thread. Above the bound the
+    plan stays fully distributed.
     """
+    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+
+    if _plan_size_bytes(documents.select(text_col, id_col)) < 64 * 1024 * 1024:
+        documents = documents.coalesce(1)
     return (
         documents.groupBy(F.md5(F.col(text_col)).alias("__h"))
         .agg(

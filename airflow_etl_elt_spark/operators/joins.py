@@ -35,17 +35,25 @@ def revenue_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """orders ⋈ customer → revenue + order count per market segment.
 
     customer is the smaller side at every scale factor (1 customer : ~10
-    orders in TPC-H shape) — AQE broadcasts it when it fits, else shuffle-hash.
-    Aggregation is partial before the final exchange on c_mktsegment (5 groups).
+    orders in TPC-H shape). Cost-gated explicit broadcast (same 64 MB bound
+    as tpch_q5's customer move): below it the broadcast kills the custkey
+    shuffle of BOTH sides; above it — customer is a fact at 100 TB — the
+    planner's shuffle join stands. Aggregation is partial before the final
+    exchange on c_mktsegment; the output is bounded by |segments| (5), so
+    the final order uses ``ordered_small`` (no range exchange).
     """
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
+    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+    from airflow_etl_elt_spark.operators.relational import ordered_small
+
+    cc = F.broadcast(customer) if _plan_size_bytes(customer) < 64 * 1024 * 1024 else customer
+    return ordered_small(
+        orders.join(cc, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.sum("o_totalprice").alias("total_price"),
             F.count(F.lit(1)).alias("order_cnt"),
-        )
-        .orderBy("c_mktsegment")
+        ),
+        "c_mktsegment",
     )
 
 

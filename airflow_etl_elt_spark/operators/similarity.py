@@ -71,7 +71,17 @@ def cosine_topk(
       workers in the plan at all. Pick this where Python worker startup
       dominates (tiny ad-hoc queries on a cold cluster) or where pure-JVM
       plans are a deployment requirement.
+
+    Cost-gated single-partition regime (same rationale as ``exact_dedup``):
+    a dimension-sized corpus scores and top-k's in ONE task — the
+    TakeOrderedAndProject then has a single partition to merge, so the whole
+    query is one job. Above the bound the scan stays partitioned and
+    TakeOrderedAndProject merges per-partition top-k's — the 100 TB path.
     """
+    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+
+    if _plan_size_bytes(embeddings.select(id_col, vec_col)) < 64 * 1024 * 1024:
+        embeddings = embeddings.coalesce(1)
     if impl == "blas":
         qv = np.asarray(query_vec, dtype=np.float64)
         qn = float(np.linalg.norm(qv)) or 1.0

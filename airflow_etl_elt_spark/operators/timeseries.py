@@ -47,8 +47,13 @@ def hourly_agg(events: DataFrame) -> DataFrame:
     ``hour_start`` — equal to date_trunc('hour', ts) for tumbling windows,
     which is what the SQL oracle computes.
     Shuffle key is (window, event_type): high cardinality → well spread.
+    Output cardinality is hours × event types (one year ≈ 9k rows per
+    type), bounded by time span not data volume → ``ordered_small`` for
+    the final order instead of a range exchange.
     """
-    return (
+    from airflow_etl_elt_spark.operators.relational import ordered_small
+
+    return ordered_small(
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -59,8 +64,9 @@ def hourly_agg(events: DataFrame) -> DataFrame:
             "event_type",
             "cnt",
             "sum_value",
-        )
-        .orderBy("hour_start", "event_type")
+        ),
+        "hour_start",
+        "event_type",
     )
 
 

@@ -75,6 +75,18 @@ def get_session(
     on a real cluster pass ``master=None`` with a pre-configured environment
     (spark-submit sets the master) — the conf defaults still apply.
     """
+    # Python WORKERS resolve imports from PYTHONPATH + cwd, not the driver's
+    # sys.path — a pandas UDF referencing this package would raise
+    # ModuleNotFoundError whenever the process was launched from outside the
+    # repo root (observed running bench.py from /tmp). Pin the package root
+    # into the env BEFORE the JVM forks its first worker.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pp if pp else "")
+        )
+
     cpus = _default_parallelism()
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")
