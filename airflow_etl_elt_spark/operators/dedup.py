@@ -231,10 +231,20 @@ def minhash_signatures(
             out.append(m.astype(np.int64))
         return pd.Series(out)
 
-    return (
-        fan_out(documents.select(F.col(id_col).alias("id"), F.col(text_col)))
-        .select("id", sig_udf(text_col).alias("sig"))
-        .filter(F.col("sig").isNotNull())
+    # Null/empty docs are dropped BEFORE the UDF with a cheap column
+    # predicate (precisely the texts for which the UDF yields null: null or
+    # whitespace-only → zero tokens). Filtering on sig_udf's OUTPUT instead
+    # is a planner trap: Catalyst pushes the filter below the fan_out
+    # repartition and re-inlines the UDF into it, so the signature pass ran
+    # TWICE — once single-threaded on the pre-repartition layout (a whole
+    # corpus on one worker: measured 0.72 s of the old 0.92 s stage time at
+    # sf0.1) and again 32-way above. Same optimizer-trap family as the
+    # InferFiltersFromGenerate pushdown documented in SCALING.md.
+    nonempty = documents.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    return fan_out(nonempty.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", sig_udf(text_col).alias("sig")
     )
 
 
