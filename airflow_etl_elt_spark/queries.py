@@ -461,15 +461,17 @@ def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN (multi-table random hyperplanes, multi-probe).
     Rows-only — approximate by construction; recall@10 vs the exact twin is
-    asserted >= 0.8 in tests/test_recall.py (measured 0.9 at sf0.01).
-    bits sizes buckets to the corpus (~2^bits buckets; 6 suits the
-    hundreds-to-thousands range of the test SFs — scale it with log2(n)).
+    asserted >= 0.8 in tests/test_recall.py at sf0.001 AND sf0.01.
+    The signature width is auto-sized to the corpus (similarity.auto_bits:
+    smallest bits keeping expected candidates/table under a fixed budget,
+    from Catalyst's size estimate — no count job), so the same call holds
+    recall from hundreds to millions of vectors without retuning.
     Like ann_ivf, the output carries ``in_exact_top50`` — membership of each
     approximate hit in the exact brute-force top-50 — so the driver row is a
     readable recall signal, not an opaque 10 rows."""
     emb = read_table(spark, sf, "embeddings")
     qv = _query_vec(spark, sf)
-    approx = similarity.ann_topk(emb, qv, dim=64, k=10, bits=6)
+    approx = similarity.ann_topk(emb, qv, dim=64, k=10)
     return _with_exact_top50(approx, emb, qv)
 
 
