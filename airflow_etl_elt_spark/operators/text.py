@@ -311,28 +311,10 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_merges(
-    documents: DataFrame,
-    n_merges: int = 5,
-    text_col: str = "text",
-) -> "list[tuple[str, str, int]]":
-    """Learn the top ``n_merges`` BPE merges from a corpus (Sennrich 2016,
-    implemented from the paper): repeatedly count adjacent symbol pairs
-    (weighted by word frequency) and merge the most frequent pair.
-
-    Scale shape — the same driver-bounded iteration discipline as
-    ``dedup.connected_components``: the word-frequency table stays a
-    DataFrame end to end; each round runs one distributed explode+agg and
-    ships exactly ONE row (the argmax pair) to the driver; the merge is
-    applied JVM-side with an ``aggregate`` fold over the symbol arrays (no
-    Python in the loop body). k merges = k shuffles over a table that is
-    |unique words| rows regardless of corpus size.
-
-    Determinism: ties on count break by (first, second) lexicographic —
-    stable across partitionings, so the learned merge table is reproducible.
-    Returns [(first, second, count), ...] in merge order.
-    """
-    words = (
+def _word_freqs(documents: DataFrame, text_col: str) -> DataFrame:
+    """Distributed word-frequency table: the ONLY pass that sees the corpus.
+    Output is |unique word types| rows regardless of corpus size."""
+    return (
         documents.select(
             F.explode(
                 F.filter(
@@ -343,9 +325,112 @@ def bpe_train_merges(
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("syms", F.split(F.col("w"), ""))
-        .drop("w")
     )
+
+
+def bpe_train_merges(
+    documents: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    max_word_types: int = 1 << 20,
+) -> "list[tuple[str, str, int]]":
+    """Learn the top ``n_merges`` BPE merges from a corpus (Sennrich 2016,
+    implemented from the paper): repeatedly count adjacent symbol pairs
+    (weighted by word frequency) and merge the most frequent pair.
+
+    Scale shape (the subword-nmt / HF-tokenizers shape): ONE distributed
+    pass builds the word-frequency table — the only thing that scales with
+    corpus bytes — then the merge loop runs driver-side over that table
+    with exact incremental pair-count maintenance: each merge touches only
+    the word types that contain the merged pair, so 30k merges cost seconds,
+    not 30k Spark jobs. The collect is bounded by ``max_word_types`` (top
+    types by frequency, deterministic tie-break) — the standard
+    frequency-pruning every production BPE trainer applies; under the cap
+    the result is exactly the full-vocab answer. For a corpus whose pruned
+    type table genuinely cannot sit on one node, use
+    ``bpe_train_merges_distributed``.
+
+    Determinism: ties on count break by (first, second) lexicographic —
+    stable across partitionings, so the learned merge table is reproducible.
+    Returns [(first, second, count), ...] in merge order; differential-tested
+    exact against a pure-Python Sennrich reference (tests/test_corpus.py).
+    """
+    from collections import Counter, defaultdict
+
+    rows = (
+        _word_freqs(documents, text_col)
+        .orderBy(F.desc("freq"), F.col("w"))
+        .limit(max_word_types)
+        .collect()
+    )
+    vocab: list[list[str]] = [list(r["w"]) for r in rows]
+    freqs: list[int] = [int(r["freq"]) for r in rows]
+
+    pair_counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)  # pair -> word indexes containing it
+
+    def _account(idx: int, sign: int) -> None:
+        syms, f = vocab[idx], freqs[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += sign * f
+            if sign > 0:
+                where[p].add(idx)
+            elif pair_counts[p] <= 0:
+                del pair_counts[p]
+                where.pop(p, None)
+
+    for idx in range(len(vocab)):
+        _account(idx, +1)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        (a, b), cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b, int(cnt)))
+        fused = a + b
+        for idx in list(where.get((a, b), ())):
+            _account(idx, -1)
+            syms = vocab[idx]
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[idx] = out
+            _account(idx, +1)
+    return merges
+
+
+def bpe_train_merges_distributed(
+    documents: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> "list[tuple[str, str, int]]":
+    """Fully-distributed BPE merge loop, for vocabularies too large to
+    collect even after frequency pruning.
+
+    The same driver-bounded iteration discipline as
+    ``dedup.connected_components``: the word-frequency table stays a
+    DataFrame end to end; each round runs one distributed explode+agg and
+    ships exactly ONE row (the argmax pair) to the driver; the merge is
+    applied JVM-side with an ``aggregate`` fold over the symbol arrays (no
+    Python in the loop body). k merges = k shuffles over a table that is
+    |unique words| rows regardless of corpus size — correct at any scale,
+    but k jobs make it the fallback, not the default
+    (``bpe_train_merges``'s one-pass + incremental loop is exact-identical
+    under its type cap and ~1000x fewer jobs at production vocab sizes).
+    """
+    words = _word_freqs(documents, text_col).withColumn(
+        "syms", F.split(F.col("w"), "")
+    ).drop("w")
     from airflow_etl_elt_spark.operators._cache import rotate_persist
 
     merges: list[tuple[str, str, int]] = []

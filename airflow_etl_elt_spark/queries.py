@@ -985,13 +985,15 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-5 BPE merges learned from the corpus (distributed tokenizer
-    training: per-round pair-count shuffle over the word-frequency table,
-    one argmax row to the driver, JVM-side merge fold). Rows-only —
-    iterative training has no SQL twin — but differential-tested against a
-    pure-Python Sennrich-2016 reference in tests/test_corpus.py."""
+    """Top-100 BPE merges learned from the corpus (tokenizer training:
+    one distributed word-frequency pass, then an exact incremental merge
+    loop over the bounded type table — production vocab sizes cost seconds,
+    not one Spark job per merge). Rows-only — iterative training has no SQL
+    twin — but differential-tested against a pure-Python Sennrich-2016
+    reference AND against the fully-distributed per-merge variant in
+    tests/test_corpus.py."""
     docs = read_table(spark, sf, "documents")
-    merges = text.bpe_train_merges(docs, n_merges=5)
+    merges = text.bpe_train_merges(docs, n_merges=100)
     return spark.createDataFrame(
         [(i, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)],
         "merge_rank int, first string, second string, merged string, cnt bigint",
