@@ -220,20 +220,17 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 
     Cost-based, two regimes on the Catalyst size estimate:
 
-    - **Below the threshold** — ONE Arrow-batched NumPy group-apply
-      (``applyInPandas``): a single shuffle of the two projected columns,
-      all six stats from one in-memory array per group. Re-measured r4 over
-      5-run brackets in one session: 0.72-0.79 s at 600k rows × 4 groups vs
-      1.47-1.80 s for the fused JVM ``F.median`` aggregation (and 1.53+ for
-      its SortAggregate fallback, 1.36 for a window-rank median, 2.6 for a
-      value-histogram median) — the JVM median's ObjectHashAggregate buffers
-      every value as boxed objects through partial AND final phases, paying
-      allocation+GC on both sides of the shuffle, where Arrow moves the
-      same 10 MB as columnar batches into numpy's quickselect. (r2's
-      opposite ranking — 0.40 s fused vs 0.85 s Arrow — was measured with a
-      3.5x-colder Python worker pool; SCALING.md round-4 addendum records
-      the re-flip.) Per-group materialization is exactly what the size gate
-      licenses.
+    - **Below the threshold** — ONE single-task Arrow pass: project the two
+      columns, ``coalesce(1)``, ``mapInPandas`` computing every group's six
+      stats in one numpy pass (pandas groupby + quickselect median). No
+      exchange at all — at small-regime sizes the groupBy hash exchange
+      costs more than the whole computation. Measured at 600k rows × 4
+      groups (min of 5, same session): 0.49 s vs 1.05 s for the
+      ``applyInPandas`` group-apply (exchange-bound), 0.94 s for fused JVM
+      ``F.median`` (ObjectHashAggregate boxes every value through partial
+      and final phases), 0.22 s for the bare scan — i.e. this path costs
+      scan + one Arrow round-trip, the floor for an exact median.
+      Single-task materialization is exactly what the size gate licenses.
     - **Above it** — stay fully JVM and state-bounded: the streaming stats
       partial-aggregate map-side, FUSED into the same scan as the median's
       sketch pass (all mergeable aggregation states, one collect of #groups
@@ -249,33 +246,53 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     if _plan_size_bytes(df.select(group_col, value_col)) < _MEDIAN_SMALL_BYTES:
         gtype = df.schema[group_col].dataType.simpleString()
 
-        def _np_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        def _np_stats_all(batches):
             import numpy as np
 
-            x = pdf[value_col].dropna().to_numpy(dtype=float)
-            n = x.size
-            return pd.DataFrame(
-                {
-                    group_col: [pdf[group_col].iloc[0]],
-                    "mean_val": [float(x.mean()) if n else None],
-                    "median_val": [float(np.median(x)) if n else None],
-                    # ddof=1: pandas/reference sample std (SURVEY hazard 3)
-                    "std_val": [float(x.std(ddof=1)) if n > 1 else None],
-                    "min_val": [float(x.min()) if n else None],
-                    "max_val": [float(x.max()) if n else None],
-                    # count(*) semantics: every row, null values included
-                    "cnt": [len(pdf)],
-                }
+            frames = [b for b in batches if len(b)]
+            if not frames:
+                return
+            pdf = pd.concat(frames, ignore_index=True)
+            out = []
+            # dropna=False: Spark group-by keeps null keys; sort=False: order
+            # is re-established by ordered_small below
+            for key, sub in pdf.groupby(group_col, dropna=False, sort=False):
+                x = sub[value_col].dropna().to_numpy(dtype=float)
+                n = x.size
+                out.append(
+                    (
+                        None if (isinstance(key, float) and np.isnan(key)) or pd.isna(key) else key,
+                        float(x.mean()) if n else None,
+                        float(np.median(x)) if n else None,
+                        # ddof=1: pandas/reference sample std (SURVEY hazard 3)
+                        float(x.std(ddof=1)) if n > 1 else None,
+                        float(x.min()) if n else None,
+                        float(x.max()) if n else None,
+                        # count(*) semantics: every row, null values included
+                        len(sub),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    group_col, "mean_val", "median_val", "std_val",
+                    "min_val", "max_val", "cnt",
+                ],
             )
 
         from airflow_etl_elt_spark.operators.relational import ordered_small
 
-        # output is #groups rows → ordered_small, no range exchange
+        # ONE task end-to-end: at small-regime sizes the groupBy hash
+        # exchange costs more than the whole computation (measured 1.05 s
+        # applyInPandas vs 0.49 s coalesce(1)+mapInPandas at 600k rows x 4
+        # groups — the scan is a single parquet task either way, so
+        # coalesce loses no parallelism; all groups' stats come out of one
+        # numpy pass). Output is #groups rows → ordered_small.
         return ordered_small(
             df.select(group_col, value_col)
-            .groupBy(group_col)
-            .applyInPandas(
-                _np_stats,
+            .coalesce(1)
+            .mapInPandas(
+                _np_stats_all,
                 f"{group_col} {gtype}, mean_val double, median_val double, "
                 "std_val double, min_val double, max_val double, cnt long",
             ),

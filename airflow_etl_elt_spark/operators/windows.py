@@ -27,15 +27,24 @@ def top_k_per_group(
 
     One shuffle on the group key; each group sorted independently. For heavy
     skew (one giant group), pre-aggregate or use a per-partition partial top-k
-    (e.g. groupBy + max_by/collect-sort for tiny k).
+    (e.g. groupBy + max_by/collect-sort for tiny k). Small inputs fuse to a
+    single task (``fuse_small_input`` gate — no exchange).
     """
+    from airflow_etl_elt_spark.operators.relational import (
+        fuse_small_input,
+        ordered_small,
+    )
+
     w = Window.partitionBy(group_col).orderBy(
         F.col(order_col).desc(), F.col(tiebreak_col)
     )
-    return (
-        df.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= k)
-        .orderBy(group_col, "rn")
+    return ordered_small(
+        # output is #groups x k rows — bounded by construction
+        fuse_small_input(df)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k),
+        group_col,
+        "rn",
     )
 
 

@@ -742,10 +742,16 @@ def q_cube_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
     """Ranking-function suite: dense_rank / percent_rank / ntile / cume_dist
-    over one deterministic total order per priority."""
+    over one deterministic total order per priority. Small inputs fuse to a
+    single task (fuse_small_input: SinglePartition satisfies the window's
+    ClusteredDistribution, so no exchange is planned)."""
     from pyspark.sql import Window
 
-    o = read_table(spark, sf, "orders")
+    o = relational.fuse_small_input(
+        read_table(spark, sf, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return o.select(
         "o_orderkey",
@@ -833,17 +839,24 @@ def q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
                s.s_nationkey == F.col("n_nationkey"))
         .select("s_suppkey", "s_nationkey", "n_name")
     )
-    # Cost-gated customer broadcast: kills the custkey shuffle of the
-    # (already fact-fact-joined) stream (measured 0.68 s -> 0.52 s at
-    # sf0.1). Gated because customer is a FACT at 100 TB — above the bound
-    # the planner's shuffle join stands.
+    # Cost-gated customer/orders broadcasts: kill the custkey shuffle and
+    # the one fact-fact (li ⋈ o) shuffle (measured 0.68 s -> 0.52 s -> 0.48
+    # s at sf0.1). Gated because customer AND orders are FACTS at 100 TB —
+    # above the bound the planner's shuffle joins stand. With both
+    # broadcast, a fused lineitem side runs the whole query as one task.
     from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
 
     cc = F.broadcast(c) if _plan_size_bytes(c) < 64 * 1024 * 1024 else c
+    oo = o.select("o_orderkey", "o_custkey")
+    if _plan_size_bytes(oo) < 64 * 1024 * 1024:
+        oo = F.broadcast(oo)
+        li = relational.fuse_small_input(
+            li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        )
     return (
         li.join(F.broadcast(asian_sup), li.l_suppkey == F.col("s_suppkey"))
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(cc, (o.o_custkey == c.c_custkey) & (c.c_nationkey == F.col("s_nationkey")))
+        .join(oo, li.l_orderkey == F.col("o_orderkey"))
+        .join(cc, (F.col("o_custkey") == c.c_custkey) & (c.c_nationkey == F.col("s_nationkey")))
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -1298,16 +1311,31 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     date-pruned BEFORE the fact-fact join, nation broadcasts, and the top-20
     is TakeOrderedAndProject (never a global sort materialization).
     Deterministic tie-break on c_custkey."""
+    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+
     c = read_table(spark, sf, "customer")
     o = read_table(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
     )
     li = read_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     n = read_table(spark, sf, "nation")
+    # Cost-gated: orders (date-pruned, honest bound <= the orders scan) and
+    # customer broadcast; lineitem then fuses to one task — no exchange.
+    # Both are FACTS at 100 TB: above the bound the shuffle joins stand.
+    oo = o.select("o_orderkey", "o_custkey")
+    cc = c.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    if (
+        _plan_size_bytes(oo) < 64 * 1024 * 1024
+        and _plan_size_bytes(cc) < 64 * 1024 * 1024
+    ):
+        oo, cc = F.broadcast(oo), F.broadcast(cc)
+        li = relational.fuse_small_input(
+            li.select("l_orderkey", "l_extendedprice", "l_discount")
+        )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        li.join(oo, li.l_orderkey == F.col("o_orderkey"))
+        .join(cc, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
