@@ -243,7 +243,9 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    if _plan_size_bytes(df.select(group_col, value_col)) < _MEDIAN_SMALL_BYTES:
+    from airflow_etl_elt_spark.operators.relational import SINGLE_TASK_BYTES
+
+    if _plan_size_bytes(df.select(group_col, value_col)) < SINGLE_TASK_BYTES:
         gtype = df.schema[group_col].dataType.simpleString()
 
         def _np_stats_all(batches):

@@ -101,8 +101,9 @@ def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc
     plan stays fully distributed.
     """
     from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+    from airflow_etl_elt_spark.operators.relational import SINGLE_TASK_BYTES
 
-    if _plan_size_bytes(documents.select(text_col, id_col)) < 64 * 1024 * 1024:
+    if _plan_size_bytes(documents.select(text_col, id_col)) < SINGLE_TASK_BYTES:
         documents = documents.coalesce(1)
     return (
         documents.groupBy(F.md5(F.col(text_col)).alias("__h"))

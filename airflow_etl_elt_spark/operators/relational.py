@@ -50,9 +50,20 @@ def ordered_small(df: DataFrame, *cols, desc: bool = False) -> DataFrame:
     return df.coalesce(1).sortWithinPartitions(*keys)
 
 
-#: Shared small-input bound for cost-gated single-task regimes (matches the
-#: gates in dedup.exact_dedup / similarity.cosine_topk / joins).
-SINGLE_TASK_BYTES = 64 * 1024 * 1024
+#: Shared small-input bound for cost-gated single-task regimes (used by
+#: fuse_small_input, dedup.exact_dedup, similarity.cosine_topk and the
+#: grouped_stats small regime). NOTE the unit: this bounds Catalyst's
+#: OPTIMIZED-PLAN size estimate (file bytes x column fraction), which for
+#: compressed numeric parquet under-reports in-memory row size by ~10x —
+#: measured: 6M lineitem rows of 3 numeric columns estimate at 12.6 MB.
+#: 4 MB est ≈ 1-2M numeric rows ≈ the measured crossover where one task
+#: stops beating the distributed plan (window_ranks at 1.5M rows: 1.65 s
+#: distributed vs 3.61 s fused; at 150k rows: 0.70 s vs 0.54 s). Erring
+#: low is the safe direction — mischoosing distributed costs ~0.2 s of
+#: scheduling overhead once, mischoosing single-task grows without bound.
+SINGLE_TASK_BYTES = int(
+    __import__("os").environ.get("SPARK_GRAFT_SINGLE_TASK_BYTES", str(4 * 1024 * 1024))
+)
 
 
 def fuse_small_input(df: DataFrame) -> DataFrame:

@@ -79,8 +79,9 @@ def cosine_topk(
     TakeOrderedAndProject merges per-partition top-k's — the 100 TB path.
     """
     from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+    from airflow_etl_elt_spark.operators.relational import SINGLE_TASK_BYTES
 
-    if _plan_size_bytes(embeddings.select(id_col, vec_col)) < 64 * 1024 * 1024:
+    if _plan_size_bytes(embeddings.select(id_col, vec_col)) < SINGLE_TASK_BYTES:
         embeddings = embeddings.coalesce(1)
     if impl == "blas":
         qv = np.asarray(query_vec, dtype=np.float64)
