@@ -36,7 +36,9 @@ from airflow_etl_elt_spark.operators import (
     windows,
 )
 from airflow_etl_elt_spark.sources.readers import (
+    LINEITEM_EXT_ORACLE_CTE,
     PARTSUPP_ORACLE_CTE,
+    derived_lineitem_ext,
     derived_partsupp,
     fan_out,
     read_table,
@@ -1677,6 +1679,98 @@ def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): orders of one quarter having at
+    least one late line (l_commitdate < l_receiptdate), counted by priority.
+    The EXISTS is a LEFT SEMI join — no row duplication, early-out probe;
+    the date filter prunes orders at the scan. Runs on the derived
+    l_commitdate/l_receiptdate columns (readers.derived_lineitem_ext) so
+    the whole query is exact-oracle-checkable on fixtures without them."""
+    o = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    late = derived_lineitem_ext(spark, sf).filter(
+        F.col("l_commitdate") < F.col("l_receiptdate")
+    )
+    return relational.ordered_small(
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count")),
+        "o_orderpriority",
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority): late-receipt lines of
+    two ship modes received in one year, split into high/low-priority
+    counts. Conditional aggregation folds the CASE into the agg state; the
+    mode + date predicates prune lineitem before the join; orders joins
+    pruned-by-key. Derived l_shipmode/l_commitdate/l_receiptdate."""
+    li = derived_lineitem_ext(spark, sf).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= "1996-01-01")
+        & (F.col("l_receiptdate") < "1997-01-01")
+    )
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return relational.ordered_small(
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        ),
+        "l_shipmode",
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finished orders,
+    lines that arrived late from suppliers of one nation, where the order
+    had OTHER suppliers too (EXISTS → left-semi) but no OTHER supplier was
+    also late (NOT EXISTS → left-anti). Scale shape: the per-order
+    other-supplier / other-late-supplier sets are aggregated ONCE from
+    lineitem (countDistinct per orderkey) instead of two correlated
+    self-joins — one extra scan replaces an O(lines²)-per-order probe; the
+    nation and orders('F') sides broadcast-prune the late-line stream."""
+    li = derived_lineitem_ext(spark, sf)
+    late = li.filter(F.col("l_receiptdate") > F.col("l_commitdate")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    # per-order supplier census: total distinct suppliers and distinct LATE
+    # suppliers — enough to decide both EXISTS clauses for every l1 row
+    census = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_sup"),
+    )
+    late_census = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_late_sup")
+    )
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_5")
+    o = read_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    l1 = (
+        late.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(census, "l_orderkey")
+        .join(late_census, "l_orderkey")
+        # other suppliers exist on the order; this one is the ONLY late one
+        .filter((F.col("__n_sup") > 1) & (F.col("__n_late_sup") == 1))
+    )
+    return (
+        l1.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 def q_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document segment-level dedup (MassiveText/CCNet paragraph-dedup
     rule at 10-token-window granularity): per-doc kept/duplicate segment
@@ -1762,6 +1856,9 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q11": q_tpch_q11,
     "tpch_q16": q_tpch_q16,
     "tpch_q20": q_tpch_q20,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q21": q_tpch_q21,
     "unpivot_part_measures": q_unpivot_part_measures,
     "sliding_window_hourly": q_sliding_window_hourly,
     "approx_distinct_users": q_approx_distinct_users,
@@ -2488,6 +2585,51 @@ ORACLE_SQL: dict[str, str] = {
         JOIN nation ON s_nationkey = n_nationkey
         WHERE n_regionkey = 2
         ORDER BY s_name
+    """,
+    "tpch_q4": f"""
+        WITH {LINEITEM_EXT_ORACLE_CTE}
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem_ext l
+                      WHERE l.l_orderkey = o_orderkey
+                        AND l.l_commitdate < l.l_receiptdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "tpch_q12": f"""
+        WITH {LINEITEM_EXT_ORACLE_CTE}
+        SELECT l_shipmode,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM orders JOIN lineitem_ext ON o_orderkey = l_orderkey
+        WHERE l_shipmode IN ('MAIL', 'SHIP')
+          AND l_commitdate < l_receiptdate
+          AND l_shipdate < l_commitdate
+          AND l_receiptdate >= TIMESTAMP '1996-01-01'
+          AND l_receiptdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_shipmode ORDER BY l_shipmode
+    """,
+    "tpch_q21": f"""
+        WITH {LINEITEM_EXT_ORACLE_CTE}
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem_ext l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_receiptdate > l1.l_commitdate
+          AND n_name = 'NATION_5'
+          AND EXISTS (SELECT 1 FROM lineitem_ext l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_ext l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_receiptdate > l3.l_commitdate)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
     """,
     "unpivot_part_measures": """
         SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part

@@ -247,6 +247,61 @@ partsupp AS (SELECT ps_partkey, ps_suppkey,
 """
 
 
+#: TPC-H ship modes (public spec, clause 4.2.2.13); order matters for the
+#: deterministic pick below.
+_SHIP_MODES = ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"]
+
+
+def derived_lineitem_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem extended with deterministic synthetic ``l_commitdate`` /
+    ``l_receiptdate`` / ``l_shipmode`` — unblocks the date-logic TPC-H tier
+    (q4/q12/q21) on fixtures that ship without those columns (same move as
+    :func:`derived_partsupp`, VERDICT r3 next-step 4).
+
+    Shape follows dbgen: receiptdate = shipdate + [1, 30] days, commitdate
+    spread around shipdate ([-30, +30] here, so the q4/q12/q21 "late line"
+    predicate ``l_commitdate < l_receiptdate`` selects a nontrivial
+    fraction), shipmode uniform over the 7 spec modes. All three are pure
+    integer-arithmetic functions of (l_orderkey, l_linenumber) —
+    engine-portable, so the DuckDB oracle rebuilds the byte-identical
+    columns from the same parquet via :data:`LINEITEM_EXT_ORACLE_CTE`.
+    Scan-side expression only: no join, no shuffle, no disk write — free at
+    any SF.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    ln = F.col("l_linenumber").cast("long")
+    commit_days = ((k * 7919 + ln * 104729) % 61 - 30).cast("int")
+    receipt_days = (1 + (k * 2654435761 + ln * 40503) % 30).cast("int")
+    mode_idx = (1 + (k * 7 + ln * 13) % 7).cast("int")
+    return (
+        li.withColumn(
+            "l_commitdate", F.timestamp_add("DAY", commit_days, F.col("l_shipdate"))
+        )
+        .withColumn(
+            "l_receiptdate", F.timestamp_add("DAY", receipt_days, F.col("l_shipdate"))
+        )
+        .withColumn(
+            "l_shipmode",
+            F.element_at(F.array(*[F.lit(m) for m in _SHIP_MODES]), mode_idx),
+        )
+    )
+
+
+# DuckDB twin of derived_lineitem_ext, for prefixing into oracle SQL as
+# `WITH <LINEITEM_EXT_ORACLE_CTE> ...`. Same integer arithmetic + whole-day
+# interval addition, so both engines materialize identical columns.
+LINEITEM_EXT_ORACLE_CTE = """
+lineitem_ext AS (
+  SELECT l.*,
+         l_shipdate + (((l_orderkey * 7919 + l_linenumber * 104729) % 61) - 30) * INTERVAL 1 DAY AS l_commitdate,
+         l_shipdate + (1 + (l_orderkey * 2654435761 + l_linenumber * 40503) % 30) * INTERVAL 1 DAY AS l_receiptdate,
+         list_extract(['REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB'],
+                      CAST(1 + (l_orderkey * 7 + l_linenumber * 13) % 7 AS INTEGER)) AS l_shipmode
+  FROM lineitem l)
+"""
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict[str, DataFrame]:
     from airflow_etl_elt_spark import TABLES
 

@@ -133,3 +133,45 @@ def test_derived_partsupp_shape_and_determinism(spark):
     assert all(len(s) == 4 for s in per_part.values())
     again = sorted(tuple(r) for r in derived_partsupp(spark, SF_SMOKE).collect())
     assert again == sorted(tuple(r) for r in rows)
+
+
+def test_derived_lineitem_ext_matches_oracle_cte(spark):
+    """Synthetic l_commitdate/l_receiptdate/l_shipmode (r4, unblocks TPC-H
+    q4/q12/q21): the Spark derivation and the DuckDB oracle CTE must
+    produce BYTE-IDENTICAL columns from the same parquet, and the value
+    ranges must match the dbgen-shaped spec."""
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    from airflow_etl_elt_spark.sources.readers import (
+        LINEITEM_EXT_ORACLE_CTE,
+        _SHIP_MODES,
+        derived_lineitem_ext,
+    )
+
+    df = derived_lineitem_ext(spark, SF_SMOKE).select(
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        "l_commitdate", "l_receiptdate", "l_shipmode",
+    )
+    rows = df.collect()
+    for r in rows:
+        d_commit = (r["l_commitdate"] - r["l_shipdate"]).days
+        d_receipt = (r["l_receiptdate"] - r["l_shipdate"]).days
+        assert -30 <= d_commit <= 30
+        assert 1 <= d_receipt <= 30
+        assert r["l_shipmode"] in _SHIP_MODES
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMOKE}/lineitem.parquet'"
+    )
+    want = sorted(
+        con.sql(
+            "WITH " + LINEITEM_EXT_ORACLE_CTE
+            + " SELECT l_orderkey, l_linenumber, l_shipdate, l_commitdate,"
+            "          l_receiptdate, l_shipmode FROM lineitem_ext"
+        ).fetchall()
+    )
+    got = sorted(tuple(r) for r in rows)
+    assert got == want
