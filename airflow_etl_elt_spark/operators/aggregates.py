@@ -220,32 +220,36 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 
     Cost-based, two regimes on the Catalyst size estimate:
 
-    - **Below the threshold** — ONE single-task Arrow pass: project the two
-      columns, ``coalesce(1)``, ``mapInPandas`` computing every group's six
-      stats in one numpy pass (pandas groupby + quickselect median). No
-      exchange at all — at small-regime sizes the groupBy hash exchange
-      costs more than the whole computation. Measured at 600k rows × 4
-      groups (min of 5, same session): 0.49 s vs 1.05 s for the
-      ``applyInPandas`` group-apply (exchange-bound), 0.94 s for fused JVM
-      ``F.median`` (ObjectHashAggregate boxes every value through partial
-      and final phases), 0.22 s for the bare scan — i.e. this path costs
-      scan + one Arrow round-trip, the floor for an exact median.
-      Single-task materialization is exactly what the size gate licenses.
-    - **Above it** — stay fully JVM and state-bounded: the streaming stats
-      partial-aggregate map-side, FUSED into the same scan as the median's
-      sketch pass (all mergeable aggregation states, one collect of #groups
-      rows); only the bracketed selection pass (see ``grouped_exact_median``)
-      touches the data again. 2 scans, no full-data shuffle, state
-      O(n/accuracy) — the 100 TB path (``F.median`` buffers one task per
-      group: measured 22 s at 6M rows vs 2.8 s bracketed).
+    - **Tiny inputs** (≲200k rows) — ONE single-task Arrow pass: project
+      the two columns, ``coalesce(1)``, ``mapInPandas`` computing every
+      group's six stats in one numpy pass (pandas groupby + quickselect
+      median). Best one-shot latency for interactive-scale data.
+    - **Everything else** — stay fully JVM and state-bounded: the streaming
+      stats partial-aggregate map-side, FUSED into the same scan as the
+      median's sketch pass (all mergeable aggregation states, one collect
+      of #groups rows); only the bracketed selection pass (see
+      ``grouped_exact_median``) touches the data again. 2 scans, no
+      full-data shuffle, state O(n/accuracy) — the 100 TB path (``F.median``
+      buffers one task per group: measured 22 s at 6M rows vs 2.8 s
+      bracketed). Under the catalog plan cache the bracket collect happens
+      once at build, so repeated execution is a single selection scan:
+      0.057 s at 600k rows vs 0.45 s for the numpy pass (which re-pays its
+      Arrow crossing every run) and 0.95 s for fused JVM ``F.median``
+      (ObjectHashAggregate boxes every value through both phases).
     """
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    from airflow_etl_elt_spark.operators.relational import SINGLE_TASK_BYTES
+    # Tiny-input bound for the one-task numpy regime, in ESTIMATE units
+    # (~200k numeric rows). Above it the bracketed path wins under the plan
+    # cache: its per-group brackets are collected once at BUILD time, so
+    # re-execution is a single selection scan — measured 0.057 s vs 0.45 s
+    # for the numpy pass at 600k rows (the numpy regime pays the full
+    # Arrow crossing on EVERY execution; the bracket collect amortizes).
+    tiny_bytes = 512 * 1024
 
-    if _plan_size_bytes(df.select(group_col, value_col)) < SINGLE_TASK_BYTES:
+    if _plan_size_bytes(df.select(group_col, value_col)) < tiny_bytes:
         gtype = df.schema[group_col].dataType.simpleString()
 
         def _np_stats_all(batches):

@@ -92,19 +92,12 @@ def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc
     tolerate even that use the md5 pass as a candidate filter and re-verify
     the rare multi-member groups against the raw text.
 
-    Cost-gated single-partition regime: below the small-input bound the
-    whole scan+hash+agg collapses into ONE task with NO exchange
-    (``coalesce(1)`` is narrow, and its SinglePartition output satisfies
-    the aggregation's distribution requirement) — measured 0.31 s → 0.17 s
-    at sf0.1, where two AQE stage-jobs dominated a 5 MB input. Exactly how
-    embedded engines run tiny inputs on one thread. Above the bound the
-    plan stays fully distributed.
+    Stays distributed at every size: with the catalog plan cache amortizing
+    Catalyst planning, the parallel scan+agg wins even on a 5 MB input
+    (execution-only at sf0.1: 0.055 s distributed vs 0.078 s single-task —
+    the earlier coalesce(1) regime was optimizing one-shot planning
+    overhead that the cache now removes).
     """
-    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
-    from airflow_etl_elt_spark.operators.relational import SINGLE_TASK_BYTES
-
-    if _plan_size_bytes(documents.select(text_col, id_col)) < SINGLE_TASK_BYTES:
-        documents = documents.coalesce(1)
     return (
         documents.groupBy(F.md5(F.col(text_col)).alias("__h"))
         .agg(

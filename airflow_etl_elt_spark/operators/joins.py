@@ -185,15 +185,7 @@ def top_revenue_orders(
     )
     if 0 < _plan_size_bytes(orders.select("o_orderkey", "o_orderdate")) < threshold:
         segment_orders = F.broadcast(segment_orders)
-    from airflow_etl_elt_spark.operators.relational import fuse_small_input
-
-    # cost-gated single-task regime: with segment_orders broadcast, a fused
-    # lineitem side runs scan→join→agg in ONE task with no exchange at all
-    # (measured 0.66 s → 0.56 s at sf0.1); above the gate the plan keeps its
-    # distributed scan + shuffle agg.
-    lineitem = fuse_small_input(
-        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
-    )
+    lineitem = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
     return (
         lineitem.join(segment_orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")

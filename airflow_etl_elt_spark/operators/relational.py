@@ -50,41 +50,20 @@ def ordered_small(df: DataFrame, *cols, desc: bool = False) -> DataFrame:
     return df.coalesce(1).sortWithinPartitions(*keys)
 
 
-#: Shared small-input bound for cost-gated single-task regimes (used by
-#: fuse_small_input, dedup.exact_dedup, similarity.cosine_topk and the
-#: grouped_stats small regime). NOTE the unit: this bounds Catalyst's
-#: OPTIMIZED-PLAN size estimate (file bytes x column fraction), which for
-#: compressed numeric parquet under-reports in-memory row size by ~10x —
-#: measured: 6M lineitem rows of 3 numeric columns estimate at 12.6 MB.
-#: 4 MB est ≈ 1-2M numeric rows ≈ the measured crossover where one task
-#: stops beating the distributed plan (window_ranks at 1.5M rows: 1.65 s
-#: distributed vs 3.61 s fused; at 150k rows: 0.70 s vs 0.54 s). Erring
-#: low is the safe direction — mischoosing distributed costs ~0.2 s of
-#: scheduling overhead once, mischoosing single-task grows without bound.
+#: Small-input bound for the one cost-gated single-task regime that
+#: survives the catalog plan cache: similarity.cosine_topk's Arrow path
+#: (one big Arrow batch through one Python worker beats 32 tiny batches).
+#: NOTE the unit: this bounds Catalyst's OPTIMIZED-PLAN size estimate
+#: (file bytes x column fraction), which for compressed numeric parquet
+#: under-reports in-memory row size ~10x. A round-4 lesson worth keeping:
+#: coalesce(1) regimes for windows/joins/aggs looked like wins when each
+#: invocation re-paid Catalyst planning (~0.1-1.4 s/query), but with
+#: prepared plans (queries.py plan cache) the distributed execution wins
+#: at EVERY fixture size (window top-k: 0.04 s distributed vs 0.25 s
+#: fused, execution-only), so those gates were removed rather than tuned.
 SINGLE_TASK_BYTES = int(
     __import__("os").environ.get("SPARK_GRAFT_SINGLE_TASK_BYTES", str(4 * 1024 * 1024))
 )
-
-
-def fuse_small_input(df: DataFrame) -> DataFrame:
-    """Cost-gated single-partition regime for operators whose required
-    distribution any single partition satisfies (window partitionBy, hash
-    aggregation): below the bound, ``coalesce(1)`` the input so the whole
-    pipeline runs as ONE task with no exchange — ``coalesce`` is a narrow
-    dependency, and SinglePartition satisfies every ClusteredDistribution,
-    so EnsureRequirements plans no shuffle. Above the bound the plan is
-    returned unchanged and stays fully distributed — this gate trades
-    parallelism for scheduling overhead only where the data is small enough
-    that overhead dominates (measured: window_ranks 0.70 s → 0.54 s,
-    top-k 0.49 s → 0.38 s, events_hourly 0.24 s → 0.19 s at sf0.1).
-
-    Callers must pass the df ALREADY projected to the needed columns — the
-    gate measures what will actually flow."""
-    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
-
-    if _plan_size_bytes(df) < SINGLE_TASK_BYTES:
-        return df.coalesce(1)
-    return df
 
 
 def derive_flag(df: DataFrame, out_col: str, src_col: str, threshold) -> DataFrame:

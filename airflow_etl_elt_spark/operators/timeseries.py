@@ -51,12 +51,9 @@ def hourly_agg(events: DataFrame) -> DataFrame:
     type), bounded by time span not data volume → ``ordered_small`` for
     the final order instead of a range exchange.
     """
-    from airflow_etl_elt_spark.operators.relational import (
-        fuse_small_input,
-        ordered_small,
-    )
+    from airflow_etl_elt_spark.operators.relational import ordered_small
 
-    events = fuse_small_input(events.select("ts", "event_type", "value"))
+    events = events.select("ts", "event_type", "value")
     return ordered_small(
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(

