@@ -111,6 +111,52 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch KNN serving: exact top-k cosine neighbors for EVERY query row
+    at once — the shape a retrieval service actually runs (q queries per
+    request, not one).
+
+    ``queries`` is (query_id, query vector) — dimension-sized — and is
+    BROADCAST into one corpus scan: cost is one pass over the corpus per
+    REQUEST, not per query, with all q scores computed from the same
+    cached row. The per-query top-k is a bounded window (rank <= k) on the
+    (query_id) partitioning — at scale that shuffles q x corpus score rows,
+    so for large q pre-reduce per partition first (TakeOrdered per query) or
+    go through the ANN tiers. Ties broken by corpus id; returns
+    (query_id, vec_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+        )
+    )
+    denom = _norm(F.col(vec_col)) * _norm(F.col("__qv"))
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        _dot(F.col(vec_col), F.col("__qv")) / denom
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        embeddings.select(id_col, vec_col)
+        .crossJoin(q)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pairwise_topk_within_label(
     embeddings: DataFrame,
     k: int = 5,

@@ -328,6 +328,36 @@ def _word_freqs(documents: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def word_entropy(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram word entropy (nats) — the standard
+    lexical-diversity quality signal: machine-generated or boilerplate text
+    scores low, natural prose high.
+
+    H = ln(n) - sum(c·ln c)/n over word counts c (algebraic rewrite of
+    -sum(p·ln p) that needs only ONE aggregation over (doc, word) counts —
+    no join back for totals). Explode is narrow; the only shuffle keys on
+    (doc, word); per-doc reduce is bounded by vocabulary. Documents with no
+    words produce no row (mirrored by the SQL oracle).
+    """
+    words = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), WS_RE),
+                lambda t: t != "",
+            )
+        ).alias("__w"),
+    )
+    wc = words.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    n = F.sum("__c")
+    return wc.groupBy(id_col).agg(
+        (F.log(n) - F.sum(F.col("__c") * F.log("__c")) / n)
+        .cast("double")
+        .alias("word_entropy"),
+        n.cast("bigint").alias("n_words"),
+    )
+
+
 def bpe_train_merges(
     documents: DataFrame,
     n_merges: int = 5,

@@ -481,6 +481,23 @@ def q_label_pairs_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.pairwise_topk_within_label(read_table(spark, sf, "embeddings"), k=3)
 
 
+def q_knn_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch KNN serving: exact top-10 cosine neighbors for the first 5
+    corpus vectors in ONE corpus pass (broadcast query set + bounded
+    per-query window) — the q-queries-per-request retrieval shape."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk_batch(emb, queries, k=10)
+
+
+def q_word_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document unigram word entropy + word count (lexical-diversity
+    quality signal); exactly oracle-checkable."""
+    return text.word_entropy(fan_out(read_table(spark, sf, "documents")))
+
+
 # --------------------------------------------------------------------------
 # As-of / range joins (time-series; DuckDB ASOF JOIN is the oracle)
 # --------------------------------------------------------------------------
@@ -1830,6 +1847,9 @@ def q_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
 # then ends at tpch_q5_local_revenue — everything after coasts on its
 # r1/r2 row).
 QUERIES: dict[str, QueryFn] = {
+    # --- NEW in r4: batch retrieval + lexical diversity ---
+    "knn_batch": q_knn_batch,
+    "word_entropy": q_word_entropy,
     # --- NEW in r3: TPC-H-shaped join/agg/subquery additions ---
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
@@ -3079,6 +3099,34 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents GROUP BY text ORDER BY canonical_id
     """,
     # similarity
+    "knn_batch": """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS DOUBLE)
+                   AS cosine
+          FROM embeddings e, q),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    "word_entropy": """
+        WITH words AS (
+          SELECT doc_id, w
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+                FROM documents)
+          WHERE w <> ''),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(ln(sum(c)) - sum(c * ln(c)) / sum(c) AS DOUBLE) AS word_entropy,
+               CAST(sum(c) AS BIGINT) AS n_words
+        FROM wc GROUP BY doc_id
+    """,
     "knn_cosine": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
