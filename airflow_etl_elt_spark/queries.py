@@ -2026,6 +2026,16 @@ def plan_cache_clear() -> None:
     _DF_PLAN_CACHE.clear()
 
 
+def prepare_all(
+    spark: SparkSession, sf: str, keys: "list[str] | None" = None
+) -> "dict[str, DataFrame]":
+    """Eagerly build (and cache) the prepared plan for every catalog query —
+    what a query service does at startup so first-request latency matches
+    steady state. Returns {key: DataFrame}; build errors propagate (a
+    service should fail fast on an unpreparable plan)."""
+    return {k: QUERIES[k](spark, sf) for k in (keys or list(QUERIES))}
+
+
 QUERIES = {k: _plan_cached(k, fn) for k, fn in QUERIES.items()}
 
 _EN_STOP_PATTERN = r"\b(the|and|of|to|in|is)\b"

@@ -223,3 +223,33 @@ def test_corpus_hygiene_ops_are_streaming_legal(spark, tmp_path):
         for r in _run_foreach_batch(stream_df, str(tmp_path / "ckpt"), mode="append")
     )
     assert got == batch and len(got) > 0
+
+
+def test_pii_redact_is_streaming_legal(spark, tmp_path):
+    """PII scrubbing is pure codegen regex (no shuffle, no state) so the
+    SAME operator must run over an ingestion stream — redact-at-ingest is
+    the 100 TB privacy posture (raw text should never land unredacted)."""
+    from airflow_etl_elt_spark.operators.text import pii_redact
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (0, "mail me at a.b@example.com or call 555-123-4567"),
+        (1, "server at 10.0.0.1 is fine"),
+        (2, "no pii here"),
+    ]
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    batch = sorted(
+        tuple(r) for r in pii_redact(spark.read.parquet(src)).collect()
+    )
+    stream_df = pii_redact(spark.readStream.schema(schema).parquet(src))
+    got = sorted(
+        tuple(r)
+        for r in _run_foreach_batch(stream_df, str(tmp_path / "ckpt2"), mode="append")
+    )
+    assert got == batch and len(got) == 3
+    # (doc_id, n_emails, n_ips, n_phones, clean_len, clean_fp)
+    counts = {r[0]: (r[1], r[2], r[3]) for r in got}
+    assert counts[0] == (1, 0, 1)
+    assert counts[1] == (0, 1, 0)
+    assert counts[2] == (0, 0, 0)
