@@ -179,6 +179,11 @@ def main() -> None:
 
     timings = {k: round(min(v), 4) for k, v in samples.items() if v}
     timings_median = {k: round(_median(v), 4) for k, v in samples.items() if v}
+    # First sample = COLD: includes Catalyst analysis/optimization/codegen
+    # before the prepared-plan cache (queries.py) kicks in. Reported so the
+    # build-vs-execute split is self-documenting: min reflects steady-state
+    # service latency, cold reflects first-request latency.
+    timings_cold = {k: round(v[0], 4) for k, v in samples.items() if v}
     duck_timings = {k: round(min(v), 4) for k, v in duck_samples.items() if v}
     duck_median = {k: round(_median(v), 4) for k, v in duck_samples.items() if v}
     floor = min(floor_samples) if floor_samples else 0.0
@@ -194,6 +199,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": timings_median,
+        "queries_cold": timings_cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "spark_job_floor_sec": round(floor, 4),
         "duckdb_queries": duck_timings,
