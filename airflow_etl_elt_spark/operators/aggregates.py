@@ -241,15 +241,16 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    # Tiny-input bound for the one-task numpy regime, in ESTIMATE units
-    # (~200k numeric rows). Above it the bracketed path wins under the plan
-    # cache: its per-group brackets are collected once at BUILD time, so
-    # re-execution is a single selection scan — measured 0.057 s vs 0.45 s
-    # for the numpy pass at 600k rows (the numpy regime pays the full
-    # Arrow crossing on EVERY execution; the bracket collect amortizes).
-    tiny_bytes = 512 * 1024
+    from airflow_etl_elt_spark.operators.relational import SINGLE_TASK_BYTES
 
-    if _plan_size_bytes(df.select(group_col, value_col)) < tiny_bytes:
+    # One-task numpy regime below ~1-2M numeric rows (4MB of plan-size
+    # estimate): the best one-shot latency (0.45-1.0 s at 600k rows vs
+    # 1.9 s for the bracketed path, whose per-group bracket collect runs at
+    # build time). Above the bound the bracketed path is the only
+    # state-bounded option — and under the prepared-plan cache its
+    # re-execution is a single 0.057 s selection scan, so repeated use
+    # amortizes the build either way.
+    if _plan_size_bytes(df.select(group_col, value_col)) < SINGLE_TASK_BYTES:
         gtype = df.schema[group_col].dataType.simpleString()
 
         def _np_stats_all(batches):

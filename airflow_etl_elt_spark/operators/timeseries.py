@@ -136,3 +136,64 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def ewma(
+    events: DataFrame,
+    partition_col: str = "user_id",
+    order_cols: "list[str] | None" = None,
+    value_col: str = "value",
+    alpha: float = 0.3,
+    window: int = 50,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key, ``window``-step
+    truncated: y_t = Σ_{j=0..w-1} (1-α)^j·x_{t-j} / Σ (1-α)^j over the rows
+    present in the frame.
+
+    Truncation is what makes this EXACT and engine-portable: the infinite
+    recursion y_t = α·x_t + (1-α)·y_{t-1} has no SQL twin and its closed
+    form overflows for long series, but the truncated form differs from it
+    by at most (1-α)^window · range — 2e-8 of range at the defaults — while
+    every term is a bounded power both engines compute identically. (The
+    same trade pandas makes available as ``ewm(...).mean()`` with a span
+    cutoff.)
+
+    Plan shape: one hash exchange on ``partition_col`` (shared with any
+    other window over the same key), a ``rowsBetween(-(w-1), 0)``
+    collect_list frame, and a JVM ``aggregate`` fold over that ≤w-element
+    array — no Python, state bounded by ``window`` not series length.
+    Precondition: ``value_col`` must be non-null (collect_list drops nulls,
+    which would silently shift frame ages) — filter or impute first.
+    """
+    from pyspark.sql import Window
+
+    order_cols = order_cols or ["ts", "event_id"]
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    decay = 1.0 - alpha
+    # frame values oldest→newest; age of element i (0-based) in an n-element
+    # frame is n-1-i
+    frame = F.collect_list(F.col(value_col).cast("double")).over(w)
+    n = F.size(frame)
+    weighted = F.aggregate(
+        F.zip_with(
+            frame,
+            F.sequence(F.lit(0), n - 1),
+            lambda x, i: F.struct(
+                (x * F.pow(F.lit(decay), (n - 1 - i).cast("double"))).alias("wx"),
+                F.pow(F.lit(decay), (n - 1 - i).cast("double")).alias("w"),
+            ),
+        ),
+        F.struct(F.lit(0.0).alias("swx"), F.lit(0.0).alias("sw")),
+        lambda acc, v: F.struct(
+            (acc["swx"] + v["wx"]).alias("swx"), (acc["sw"] + v["w"]).alias("sw")
+        ),
+    )
+    return events.withColumn(
+        out_col,
+        F.when(n > 0, weighted["swx"] / weighted["sw"]).cast("double"),
+    )

@@ -498,6 +498,20 @@ def q_word_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return text.word_entropy(fan_out(read_table(spark, sf, "documents")))
 
 
+def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user truncated EWMA over event values (50-step window, α=0.3) —
+    the exponential-smoothing feature every event-time model pipeline
+    derives. Truncation makes it EXACT in both engines (bounded powers, no
+    recursion) while staying within (1-α)^50 ≈ 2e-8·range of the infinite
+    recursion. Output keys on event_id; exactly oracle-checkable."""
+    ev = read_table(spark, sf, "events")
+    # round(4) in BOTH engines: the oracle's self-join sums weight terms in
+    # a different association order than the JVM fold (~1e-12 abs noise)
+    return timeseries.ewma(ev).select(
+        "event_id", F.round(F.col("ewma"), 4).alias("ewma_value")
+    )
+
+
 # --------------------------------------------------------------------------
 # As-of / range joins (time-series; DuckDB ASOF JOIN is the oracle)
 # --------------------------------------------------------------------------
@@ -1845,9 +1859,10 @@ def q_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
 # (ann_ivf, media_features, events_* tail …) coast on their green r03
 # rows; my own scripts/sweep_oracle.py covers all keys every round.
 QUERIES: dict[str, QueryFn] = {
-    # --- NEW in r4: batch retrieval + lexical diversity ---
+    # --- NEW in r4: batch retrieval + lexical diversity + smoothing ---
     "knn_batch": q_knn_batch,
     "word_entropy": q_word_entropy,
+    "ewma": q_ewma,
     # --- NEW in r3: TPC-H-shaped join/agg/subquery additions ---
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
@@ -3134,6 +3149,20 @@ ORACLE_SQL: dict[str, str] = {
                CAST(ln(sum(c)) - sum(c * ln(c)) / sum(c) AS DOUBLE) AS word_entropy,
                CAST(sum(c) AS BIGINT) AS n_words
         FROM wc GROUP BY doc_id
+    """,
+    "ewma": """
+        WITH ordered AS (
+          SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        joined AS (
+          SELECT t.event_id,
+                 sum(s.x * pow(0.7, t.rn - s.rn)) AS swx,
+                 sum(pow(0.7, t.rn - s.rn)) AS sw
+          FROM ordered t JOIN ordered s
+            ON t.user_id = s.user_id AND t.rn - s.rn BETWEEN 0 AND 49
+          GROUP BY t.event_id)
+        SELECT event_id, round(swx / sw, 4) AS ewma_value FROM joined
     """,
     "knn_cosine": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

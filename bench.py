@@ -10,6 +10,15 @@ Arrow-batched toPandas() on the Spark side, .df() on the DuckDB side, so
 both engines pay the same columnar fetch. (Row-at-a-time collect() was
 measured to spend ~1 s deserializing a 150 k-row result into Python Row
 objects — benchmarking the fetch API, not the engine.)
+
+Two Spark modes, reported separately and never mixed:
+- ``queries``/``ratio_vs_duckdb`` (headline): fresh build + full execution
+  per sample, plan cache off — operator cost, comparable to DuckDB's
+  re-plan-and-re-execute and to earlier rounds' numbers.
+- ``queries_prepared``/``ratio_vs_duckdb_prepared``: re-execution of the
+  session-cached prepared DataFrame — service steady state, where Spark's
+  unchanged-lineage shuffle-stage reuse legitimately skips completed map
+  stages on immutable data. Much faster, but not operator cost.
 """
 
 from __future__ import annotations
@@ -130,7 +139,12 @@ def main() -> None:
 
         duck_con = duckdb.connect()
         for t in TABLES:
-            duck_con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            p = f"{sf_dir}/{t}.parquet"
+            # Spark-written tables are DIRECTORIES of part files; the driver
+            # fixtures are single files. DuckDB needs the glob for the former.
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            duck_con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         for key in HEADLINE:
             sql = ORACLE_SQL.get(key)
             if sql is None:
@@ -142,10 +156,24 @@ def main() -> None:
         duck_con = None
         duck_sql = {}
 
+    # ---- Two Spark timing modes, kept strictly apart (round-4 finding) ----
+    # FULL (the headline): every sample builds a FRESH DataFrame with the
+    # prepared-plan cache disabled, so each run pays Catalyst planning AND
+    # full execution — the apples-to-apples comparison with DuckDB (which
+    # re-plans + re-executes each round) and with BASELINE/rounds 1-3.
+    # PREPARED (secondary): re-execute the session-cached DataFrame — the
+    # steady state of a query service holding prepared plans. NOTE what
+    # Spark's model then gives for free on immutable data: unchanged RDD
+    # lineage means completed shuffle map stages are REUSED (skipped), so
+    # prepared timings measure only post-shuffle stages + fetch. That is
+    # genuine Spark-native service behavior, but it is NOT operator cost —
+    # which is exactly why it is reported separately and never folded into
+    # ratio_vs_duckdb.
     samples: dict[str, list[float]] = {key: [] for key in HEADLINE}
     duck_samples: dict[str, list[float]] = {key: [] for key in duck_sql}
     floor_samples: list[float] = []
     errors: dict[str, str] = {}
+    os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"
     for _ in range(runs):
         for key in HEADLINE:
             if key not in errors:
@@ -172,6 +200,26 @@ def main() -> None:
     if duck_con is not None:
         duck_con.close()
 
+    os.environ["SPARK_GRAFT_PLAN_CACHE"] = "1"
+    prepared_samples: dict[str, list[float]] = {key: [] for key in HEADLINE}
+    for key in HEADLINE:  # build (uncounted), then steady-state re-executions
+        if key in errors:
+            continue
+        try:
+            QUERIES[key](spark, sf_dir).toPandas()
+        except Exception:
+            continue
+    for _ in range(3):
+        for key in HEADLINE:
+            if key in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                QUERIES[key](spark, sf_dir).toPandas()
+                prepared_samples[key].append(time.perf_counter() - t0)
+            except Exception:
+                pass
+
     def _median(xs: list[float]) -> float:
         ys = sorted(xs)
         n = len(ys)
@@ -179,11 +227,9 @@ def main() -> None:
 
     timings = {k: round(min(v), 4) for k, v in samples.items() if v}
     timings_median = {k: round(_median(v), 4) for k, v in samples.items() if v}
-    # First sample = COLD: includes Catalyst analysis/optimization/codegen
-    # before the prepared-plan cache (queries.py) kicks in. Reported so the
-    # build-vs-execute split is self-documenting: min reflects steady-state
-    # service latency, cold reflects first-request latency.
-    timings_cold = {k: round(v[0], 4) for k, v in samples.items() if v}
+    timings_prepared = {
+        k: round(min(v), 4) for k, v in prepared_samples.items() if v
+    }
     duck_timings = {k: round(min(v), 4) for k, v in duck_samples.items() if v}
     duck_median = {k: round(_median(v), 4) for k, v in duck_samples.items() if v}
     floor = min(floor_samples) if floor_samples else 0.0
@@ -199,7 +245,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": timings_median,
-        "queries_cold": timings_cold,
+        "queries_prepared": timings_prepared,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "spark_job_floor_sec": round(floor, 4),
         "duckdb_queries": duck_timings,
@@ -220,6 +266,19 @@ def main() -> None:
             for k in comparable
             if duck_timings[k] > 0
         },
+        # Service steady state (prepared plans + Spark-native shuffle-stage
+        # reuse on immutable data) — secondary by design; see the timing-mode
+        # comment above for why this is not the operator-cost headline.
+        "prepared_total": round(
+            sum(timings_prepared.get(k, 0.0) for k in comparable), 4
+        ),
+        "ratio_vs_duckdb_prepared": (
+            round(
+                sum(timings_prepared.get(k, 0.0) for k in comparable) / duck_total, 2
+            )
+            if duck_total and all(k in timings_prepared for k in comparable)
+            else None
+        ),
         "errors": errors,
     }
     print(json.dumps(out))
