@@ -627,29 +627,125 @@ def pq_topk(
     """
     books = pq_train(embeddings, m, ksub, seed=seed, vec_col=vec_col)
     encoded = pq_encode(embeddings, books, vec_col)
+    cands = (
+        encoded.withColumn("__adc", _adc_col(books, query_vec))
+        .orderBy(F.col("__adc").asc(), id_col)
+        .limit(rerank)
+    )
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def _adc_col(
+    books: "list[list[list[float]]]", query_vec: "list[float]", code_col: str = "pq_code"
+):
+    """ADC score column for one query: m × ksub lookup table built once on
+    the driver, each row scored by m JVM array lookups summed."""
     q = np.array(query_vec, dtype=np.float64)
     q /= max(float(np.linalg.norm(q)), 1e-12)
+    m = len(books)
     dsub = len(q) // m
     luts = []
     for s, C in enumerate(np.array(b, dtype=np.float64) for b in books):
         qs = q[s * dsub : (s + 1) * dsub]
         luts.append([float(((qs - c) ** 2).sum()) for c in C])
     lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in luts])
-    adc = F.aggregate(
+    return F.aggregate(
         F.zip_with(
-            F.col("pq_code"),
+            F.col(code_col),
             lut_col,
             lambda c, l: F.element_at(l, c + F.lit(1)),
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and PERSIST an IVF-PQ index — the at-rest layout the in-memory
+    ``ivfpq_topk`` docstring promises:
+
+    - ``<path>/codes``: (id, pq_code) parquet, ``partitionBy(ivf_cell)`` —
+      a probe reads only its cells' directories (partition pruning,
+      plan-asserted in tests) and only code bytes (~1/64th of raw vectors).
+    - ``<path>/meta.json``: coarse centroids + PQ codebooks + params — KBs,
+      written once by the driver, broadcast-sized forever.
+
+    Train-small/apply-big: centroid + codebook training reads a bounded
+    sample; encoding is one distributed Arrow pass over the corpus. Rebuild
+    to refresh — the index is immutable at rest, like any parquet table.
+    """
+    import json as _json
+    import os as _os
+
+    cents = ivf_centroids(embeddings, n_centroids, seed=seed, vec_col=vec_col)
+    books = pq_train(embeddings, m, ksub, seed=seed, vec_col=vec_col)
+    codes = pq_encode(ivf_assign(embeddings, cents, vec_col), books, vec_col).select(
+        id_col, "ivf_cell", "pq_code"
+    )
+    codes.write.mode("overwrite").partitionBy("ivf_cell").parquet(f"{path}/codes")
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as fh:
+        _json.dump(
+            {
+                "centroids": cents,
+                "codebooks": books,
+                "n_centroids": n_centroids,
+                "m": m,
+                "ksub": ksub,
+                "id_col": id_col,
+            },
+            fh,
+        )
+
+
+def ivfpq_index_search(
+    spark,
+    path: str,
+    query_vec: "list[float]",
+    vectors: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: probe-cell PARTITION-PRUNED read of
+    the code table, JVM-only ADC scan, then exact cosine rescore of the
+    ``rerank`` survivors against the raw-vector store ``vectors`` (joined by
+    id — at scale a point-lookup-friendly table, here the fixture frame).
+
+    The serving path touches n_probe/n_centroids of the partitions and only
+    code bytes until the final ``rerank`` rows — the Jégou-2011 shape, now
+    with the index actually at rest instead of recomputed per query.
+    """
+    import json as _json
+
+    with open(f"{path}/meta.json") as fh:
+        meta = _json.load(fh)
+    id_col = meta["id_col"]
+    q = np.array(query_vec, dtype=np.float64)
+    probe = np.argsort(
+        [((q - np.array(c)) ** 2).sum() for c in meta["centroids"]]
+    )[:n_probe]
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("ivf_cell").isin([int(p) for p in probe])
+    )
     cands = (
-        encoded.withColumn("__adc", adc)
+        codes.withColumn("__adc", _adc_col(meta["codebooks"], query_vec))
         .orderBy(F.col("__adc").asc(), id_col)
         .limit(rerank)
+        .select(id_col)
     )
-    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+    rescored = vectors.join(cands, id_col)
+    return cosine_topk(rescored, query_vec, k, id_col, vec_col)
 
 
 def ivfpq_topk(
