@@ -353,3 +353,75 @@ def shuffle_shards(
         with_shard.withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("__h")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: "list[str]",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build a Type-2 slowly-changing-dimension history from an event/
+    snapshot stream: one row per (key, attribute-state run) with
+    ``valid_from`` / ``valid_to`` / ``is_current`` — the standard warehouse
+    dimension-versioning shape (Kimball SCD Type 2).
+
+    Consecutive rows with unchanged attributes compress into one validity
+    interval; ``valid_to`` is the next change's timestamp (open interval,
+    NULL = current). Two window passes over ONE hash exchange on the key
+    (lag to detect change, lead over the change rows to close intervals) —
+    no self-join, no data-volume sort. Exactly SQL-expressible, so the
+    catalog key is oracle-checked.
+    """
+    from pyspark.sql import Window
+
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    # null-safe change detector (IS DISTINCT FROM): first row of a key and
+    # NULL-bearing attribute states both count as changes
+    changed = df.withColumn(
+        "__changed", ~F.lag(state).over(w).eqNullSafe(state)
+    ).filter(F.col("__changed"))
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key_col, *attr_cols, "valid_from", "valid_to", "is_current")
+    )
+
+
+def validate_expectations(
+    df: DataFrame, rules: "list[tuple[str, object]]"
+) -> DataFrame:
+    """Data-quality gate: count violations of each named rule in ONE scan
+    (conditional aggregation — no per-rule pass). ``rules`` is
+    [(name, boolean Column that is True when the row PASSES)]. Returns one
+    row per rule: (rule, n_rows, violations, pass) — the
+    expectations-report shape dbt tests / Great Expectations emit, computed
+    as a single fused aggregate. NULL predicate results count as
+    violations (unknown is not a pass).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules:
+        aggs.append(
+            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)).alias(
+                f"__v_{name}"
+            )
+        )
+    row = df.agg(*aggs)
+    parts = [
+        row.select(
+            F.lit(name).alias("rule"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col(f"__v_{name}").cast("bigint").alias("violations"),
+            (F.col(f"__v_{name}") == 0).alias("pass"),
+        )
+        for name, _ in rules
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -498,6 +498,58 @@ def q_word_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return text.word_entropy(fan_out(read_table(spark, sf, "documents")))
 
 
+def q_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Kimball Type-2 SCD history of each user's event_type state: runs of
+    unchanged state compress into validity intervals with
+    valid_from/valid_to/is_current — the warehouse dimension-versioning op.
+    Two windows over one key exchange; exactly oracle-checkable."""
+    ev = read_table(spark, sf, "events")
+    return relational.scd2_history(
+        ev, "user_id", "ts", ["event_type"], tiebreak_col="event_id"
+    )
+
+
+def q_validate_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality gate over orders: named expectations checked in ONE
+    fused conditional aggregation (the dbt-test / expectations-report
+    shape). Rules: positive totalprice, non-null orderdate, status in the
+    legal domain, priority well-formed. Exactly oracle-checkable."""
+    o = read_table(spark, sf, "orders")
+    return relational.validate_expectations(
+        o,
+        [
+            ("totalprice_positive", F.col("o_totalprice") > 0),
+            ("orderdate_not_null", F.col("o_orderdate").isNotNull()),
+            ("status_in_domain", F.col("o_orderstatus").isin("F", "O", "P")),
+            ("priority_wellformed", F.col("o_orderpriority").rlike("^[1-5]-")),
+        ],
+    )
+
+
+def q_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type z-score outlier counts (|z| > 3 against the type's
+    own mean/std) — the monitoring/anomaly primitive. Grouped two-moment
+    agg broadcast back onto the scan; exactly oracle-checkable."""
+    ev = read_table(spark, sf, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"), F.stddev_samp("value").alias("__sd")
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    return relational.ordered_small(
+        joined.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.abs((F.col("value") - F.col("__mu")) / F.col("__sd")) > 3, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        ),
+        "event_type",
+    )
+
+
 def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user truncated EWMA over event values (50-step window, α=0.3) —
     the exponential-smoothing feature every event-time model pipeline
@@ -1863,6 +1915,9 @@ QUERIES: dict[str, QueryFn] = {
     "knn_batch": q_knn_batch,
     "word_entropy": q_word_entropy,
     "ewma": q_ewma,
+    "scd2_user_state": q_scd2_user_state,
+    "validate_orders": q_validate_orders,
+    "zscore_outliers": q_zscore_outliers,
     # --- NEW in r3: TPC-H-shaped join/agg/subquery additions ---
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
@@ -3149,6 +3204,44 @@ ORACLE_SQL: dict[str, str] = {
                CAST(ln(sum(c)) - sum(c * ln(c)) / sum(c) AS DOUBLE) AS word_entropy,
                CAST(sum(c) AS BIGINT) AS n_words
         FROM wc GROUP BY doc_id
+    """,
+    "scd2_user_state": """
+        WITH changed AS (
+          SELECT user_id, event_type, ts, event_id,
+                 (lag(event_type) OVER w IS DISTINCT FROM event_type) AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        runs AS (
+          SELECT user_id, event_type, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+          FROM changed WHERE chg)
+        SELECT user_id, event_type, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM runs
+    """,
+    "validate_orders": """
+        WITH agg AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS v1,
+                 sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS v2,
+                 sum(CASE WHEN coalesce(o_orderstatus IN ('F','O','P'), FALSE) THEN 0 ELSE 1 END) AS v3,
+                 sum(CASE WHEN coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE) THEN 0 ELSE 1 END) AS v4
+          FROM orders)
+        SELECT 'totalprice_positive' AS rule, CAST(n AS BIGINT) AS n_rows,
+               CAST(v1 AS BIGINT) AS violations, v1 = 0 AS pass FROM agg
+        UNION ALL SELECT 'orderdate_not_null', CAST(n AS BIGINT), CAST(v2 AS BIGINT), v2 = 0 FROM agg
+        UNION ALL SELECT 'status_in_domain', CAST(n AS BIGINT), CAST(v3 AS BIGINT), v3 = 0 FROM agg
+        UNION ALL SELECT 'priority_wellformed', CAST(n AS BIGINT), CAST(v4 AS BIGINT), v4 = 0 FROM agg
+    """,
+    "zscore_outliers": """
+        WITH stats AS (
+          SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+          FROM events GROUP BY event_type)
+        SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sd) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        GROUP BY e.event_type
     """,
     "ewma": """
         WITH ordered AS (
