@@ -154,6 +154,12 @@ def upsert_by_key(
     column; Spark's dynamic partition overwrite writes only those), or the
     table lives in a format with transactional merge (Delta/Iceberg) where
     this function's join shape maps 1:1 onto MERGE INTO.
+
+    Concurrency: this function mirrors the reference's single-writer
+    contract. For CONCURRENT writers use ``sources.txn.TxnTable.merge`` —
+    the same join shape behind a version log with atomic commits and
+    optimistic retry (snapshot isolation for readers, lost races surface
+    as ConcurrentWriteError, never as interleaving).
     """
     import shutil
     import uuid
