@@ -469,3 +469,52 @@ def test_resize_media_reencodes_jpeg_in_source_format(spark):
     for r in out:
         px = decode_jpeg(bytes(r["payload"]))  # still a JPEG payload
         assert px.shape == (8, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# chart PDF sink (SURVEY §2 row 8 — the last boundary, now real)
+# ---------------------------------------------------------------------------
+
+
+def test_plot_kde_pdf_writes_valid_deterministic_pdf(spark, tmp_path):
+    """The chart sink must emit a structurally valid PDF 1.4 (header, page
+    object, decodable Flate content stream containing the per-group
+    polylines and labels, xref offsets that land on their objects) and be
+    byte-deterministic for the same input."""
+    import re
+    import zlib
+
+    from airflow_etl_elt_spark.operators.chart_pdf import plot_kde_pdf
+
+    rows = []
+    import random as _r
+
+    rng = _r.Random(5)
+    for q in (5, 6, 7):
+        for _ in range(80):
+            rows.append((q, 8.0 + q * 0.5 + rng.gauss(0, 0.4)))
+    df = spark.createDataFrame(rows, "quality int, alcohol double")
+
+    p1 = plot_kde_pdf(df, "quality", "alcohol", str(tmp_path / "a"), title="Alcohol KDE")
+    p2 = plot_kde_pdf(df, "quality", "alcohol", str(tmp_path / "b"), title="Alcohol KDE")
+    raw = open(p1, "rb").read()
+    assert p1.endswith("alcohol_kde.pdf")
+    assert raw.startswith(b"%PDF-1.4") and raw.rstrip().endswith(b"%%EOF")
+    assert raw == open(p2, "rb").read()  # deterministic bytes
+
+    # xref offsets must point at their objects
+    xref_at = int(raw.rsplit(b"startxref", 1)[1].split()[0])
+    assert raw[xref_at : xref_at + 4] == b"xref"
+    for i, line in enumerate(raw[xref_at:].split(b"\n")[3:8], start=1):
+        off = int(line.split()[0])
+        assert raw[off:].startswith(b"%d 0 obj" % i)
+
+    # content stream decodes and draws 3 legend labels + the title
+    m = re.search(rb"stream\n(.*?)\nendstream", raw, re.S)
+    content = zlib.decompress(m.group(1)).decode("latin-1")
+    assert "(Alcohol KDE) Tj" in content
+    for q in ("5", "6", "7"):
+        assert f"({q}) Tj" in content
+    # three colored curves: one 64-point path per group
+    assert content.count(" S") >= 3
+    assert "Total 240 samples" in content
