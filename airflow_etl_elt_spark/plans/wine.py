@@ -203,10 +203,14 @@ def build_wine_downstream_pipeline(
     warehouse_dir: str,
     now=dt.datetime.now,
     pg_engine_url: str | None = None,
+    chart_dir: str | None = None,
 ) -> Pipeline:
     """ETL_ELT_wine_downstream: triggered when BOTH sink markers exist
     (etl_elt_wine_downstream.py:42); weekday < 3 picks the Postgres-shaped
-    source, else the DuckDB-shaped one (:96-101); charts quality×alcohol."""
+    source, else the DuckDB-shaped one (:96-101); charts quality×alcohol.
+    With ``chart_dir`` set, the chart task also renders the reference's PDF
+    artifact (utils.py:307-318) via the stdlib vector writer
+    (operators/chart_pdf.py) and returns its path."""
     duck_path = os.path.join(warehouse_dir, "wine_data")
     pg_path = pg_engine_url or os.path.join(warehouse_dir, "wine_data_raw")
 
@@ -232,7 +236,14 @@ def build_wine_downstream_pipeline(
         # the double xcom_pull (task id → value) is ctx[ctx["chosen_source"]]
         df = ctx[ctx["chosen_source"]]
         out = kde_per_group(df, "quality", "alcohol")
-        return {"kde": out, "row_count": df.count()}
+        result = {"kde": out, "row_count": df.count()}
+        if chart_dir is not None:
+            from airflow_etl_elt_spark.operators.chart_pdf import plot_kde_pdf
+
+            result["pdf_path"] = plot_kde_pdf(
+                df, "quality", "alcohol", chart_dir, title="Alcohol KDE"
+            )
+        return result
 
     (
         pipe.add("branch_task", branch, branch=True)

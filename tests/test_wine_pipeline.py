@@ -87,14 +87,20 @@ def test_wine_etl_elt_end_to_end(spark, wine_csv, tmp_path):
     assert appended == 0
     assert spark.read.parquet(os.path.join(wh, "wine_data")).count() == n_before
 
-    # downstream, dataset-triggered (both markers exist now)
-    down = build_wine_downstream_pipeline(spark, wh, now=now)
+    # downstream, dataset-triggered (both markers exist now); chart_dir set
+    # → the task also renders the reference's PDF artifact
+    down = build_wine_downstream_pipeline(
+        spark, wh, now=now, chart_dir=os.path.join(wh, "plots")
+    )
     dres = down.run(
         wait_for=("duckdb_dataset", "postgresql_dataset"),
         marker_dir=os.path.join(wh, "_markers"),
     )
     assert dres["chart_kde"].status == "success"
     assert dres["chart_kde"].value["row_count"] > 0
+    pdf = dres["chart_kde"].value["pdf_path"]
+    assert pdf.endswith("alcohol_kde.pdf")
+    assert open(pdf, "rb").read().startswith(b"%PDF-1.4")
     # Wednesday (isoweekday 3) → duckdb source chosen, postgres skipped
     assert dres["extract_wine_data_duckdb"].status == "success"
     assert dres["extract_wine_data_postgresql"].status == "skipped"
