@@ -117,6 +117,40 @@ def stream_insert_ignore(
     )
 
 
+def stream_merge_txn(
+    stream_df: DataFrame,
+    table,
+    key_col: str,
+    checkpoint_dir: str,
+    order_col: str | None = None,
+) -> None:
+    """Streaming MERGE INTO a transaction-log table: foreachBatch +
+    ``sources.txn.TxnTable.merge``.
+
+    The upsert twin of ``stream_insert_ignore`` — matched keys UPDATE
+    instead of no-op. Each micro-batch lands as one atomic table version
+    (readers never see a torn batch); a replayed batch after a checkpoint
+    retry re-merges the same rows, which is a no-op by value — so the sink
+    is effectively-once even though foreachBatch is at-least-once. A
+    concurrent batch writer on the same table loses its race cleanly and
+    retries inside ``merge`` (optimistic concurrency), which is exactly the
+    protection the plain-parquet ``upsert_by_key`` cannot offer.
+    """
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge(batch_df.sparkSession, batch_df, key=key_col, order_col=order_col)
+
+    (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str, query_name: str) -> list:
     """Execute a streaming plan over everything currently available, collect
     the result from a memory sink, and stop — the catch-up/trigger pattern

@@ -98,3 +98,27 @@ def test_vacuum_reclaims_unreferenced(spark, table):
     assert len(os.listdir(table.data_dir)) == n_dirs_before - removed
     # the current snapshot survives
     assert _rows(table.snapshot(spark)) == [(9, "z", 0.0)]
+
+
+def test_stream_merge_txn(spark, table, tmp_path):
+    """Streaming MERGE INTO the txn table: a file-drop stream upserts via
+    foreachBatch; matched keys update, new keys insert, each batch commits
+    atomically, and a second availableNow run over the same input is a
+    value-level no-op (effectively-once)."""
+    from airflow_etl_elt_spark.streaming.windowed import stream_merge_txn
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(2, "b9", 99.0), (8, "h", 80.0)], "id bigint, name string, v double"
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("id bigint, name string, v double").parquet(src)
+    stream_merge_txn(stream, table, key_col="id", checkpoint_dir=str(tmp_path / "ck"))
+    v1 = table.latest_version()
+    got = {r["id"]: r["name"] for r in table.snapshot(spark).collect()}
+    assert got == {1: "a", 2: "b9", 8: "h"}
+
+    # replay over the same input: checkpoint suppresses the batch entirely
+    stream2 = spark.readStream.schema("id bigint, name string, v double").parquet(src)
+    stream_merge_txn(stream2, table, key_col="id", checkpoint_dir=str(tmp_path / "ck"))
+    got2 = {r["id"]: r["name"] for r in table.snapshot(spark).collect()}
+    assert got2 == got and table.latest_version() == v1
