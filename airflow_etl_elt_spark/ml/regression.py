@@ -5,8 +5,10 @@ Reference parity (SURVEY.md §2.7):
 - StandardScaler                       — utils.py:94,102,114
 - PolynomialFeatures (deg 2-3)         — utils.py:95,103,115 → PolynomialExpansion
 - LinearRegression                     — utils.py:96
-- HistGradientBoostingRegressor        — utils.py:104 → GBTRegressor (closest;
-  Spark's GBT is not histogram-based — documented approximation)
+- HistGradientBoostingRegressor        — utils.py:104 → GBTRegressor with
+  maxBins=255: Spark trees bin continuous features via quantile sketches
+  and split over bin boundaries, i.e. histogram-based gradient boosting
+  (sklearn's max_bins default is also 255); only leaf-growth order differs
 - BayesianRidge                        — utils.py:116 → real MacKay-1992
   evidence-maximization Bayesian ridge (class BayesianRidge below): one
   distributed sufficient-statistics pass + driver-side d×d loop — the
@@ -64,8 +66,19 @@ def model_specs(feats: list[str], target: str) -> list[dict[str, Any]]:
             }
         )
     for rate in (0.05, 0.1):  # HistGBR learning-rate grid (utils.py:107-111)
+        # maxBins=255 makes this literally histogram-based gradient
+        # boosting: Spark trees discretize continuous features into
+        # quantile-sketch bins and greedy-split over bin boundaries — the
+        # same algorithm family as sklearn's HistGradientBoosting (whose
+        # max_bins default is 255). The remaining difference is leaf-growth
+        # order, not the histogram mechanism.
         gbt = GBTRegressor(
-            featuresCol="raw_features", labelCol=target, stepSize=rate, maxIter=20, seed=42
+            featuresCol="raw_features",
+            labelCol=target,
+            stepSize=rate,
+            maxIter=20,
+            maxBins=255,
+            seed=42,
         )
         specs.append({"name": f"gbt_lr{rate}", "pipeline": MlPipeline(stages=[assembler, gbt])})
     # Real BayesianRidge (MacKay evidence approximation over distributed
