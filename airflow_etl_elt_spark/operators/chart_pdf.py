@@ -41,6 +41,9 @@ _ML, _MR, _MT, _MB = 54.0, 18.0, 36.0, 40.0  # plot-box margins
 
 
 def _esc(s: str) -> str:
+    # base-14 Helvetica strings are Latin-1; replace anything outside it
+    # rather than crash on an exotic group label
+    s = s.encode("latin-1", "replace").decode("latin-1")
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 

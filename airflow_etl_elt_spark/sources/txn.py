@@ -190,6 +190,8 @@ class TxnTable:
         import shutil
 
         latest = self.latest_version()
+        if latest < 0 or not os.path.isdir(self.data_dir):
+            return 0
         keep: set[str] = set()
         for v in range(max(0, latest - keep_versions + 1), latest + 1):
             keep.update(self._read_manifest(v)["dirs"])
