@@ -328,6 +328,75 @@ def _word_freqs(documents: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def bigram_lm_score(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.1,
+) -> DataFrame:
+    """Per-document cross-entropy (avg negative log prob, nats) under a
+    bigram language model trained on the SAME corpus with add-k smoothing —
+    the CCNet/KenLM-style quality filter: boilerplate and well-formed prose
+    score low, noise scores high. Using the corpus itself as training data
+    is the standard self-scoring setup for corpus filtering.
+
+    Model: P(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k·V), with V = distinct
+    unigram vocabulary. Everything is two grouped counts plus one join —
+    the whole "train + score" pipeline is relational, so it is EXACTLY
+    oracle-checkable (no UDF, no sampling):
+
+    1. one pass builds bigram counts (explode adjacent pairs, groupBy);
+       unigram CONTEXT counts derive from the bigram table (c(w1) =
+       Σ_w2 c(w1,w2)), so both come from a single shuffle;
+    2. scoring re-explodes each document's bigrams and joins them to the
+       model (shuffle keyed on the bigram — high cardinality, well
+       spread); per-doc avg of -ln P is one final aggregation.
+
+    Documents with < 2 tokens produce no row (no bigrams — mirrored by the
+    oracle). Scale shape: model size is |distinct bigrams| (vocabulary-
+    bounded, not corpus-bounded); at 100 TB train on a sample or a
+    reference corpus and broadcast the model — the scoring join is the
+    same either way.
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), WS_RE
+        ).alias("__t"),
+    ).select(
+        id_col, F.filter(F.col("__t"), lambda t: t != "").alias("__t")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("__t", 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice("__t", 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+
+    bigram_counts = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    context_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_size = (
+        toks.select(F.explode("__t").alias("w")).agg(
+            F.countDistinct("w").alias("v")
+        )
+    )
+    model = bigram_counts.join(context_counts, "w1").crossJoin(
+        F.broadcast(vocab_size)
+    )
+    scored = grams.join(model, ["w1", "w2"])
+    logp = F.log(
+        (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(-F.avg(logp), 4).alias("cross_entropy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+    )
+
+
 def word_entropy(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document unigram word entropy (nats) — the standard
     lexical-diversity quality signal: machine-generated or boilerplate text

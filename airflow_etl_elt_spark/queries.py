@@ -498,6 +498,13 @@ def q_word_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return text.word_entropy(fan_out(read_table(spark, sf, "documents")))
 
 
+def q_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc cross-entropy under a corpus-trained add-k bigram LM — the
+    CCNet/KenLM-style quality filter, fully relational (train = two grouped
+    counts, score = one join), so it's exactly oracle-checkable."""
+    return text.bigram_lm_score(fan_out(read_table(spark, sf, "documents")))
+
+
 def q_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
     """Kimball Type-2 SCD history of each user's event_type state: runs of
     unchanged state compress into validity intervals with
@@ -1918,6 +1925,7 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_user_state": q_scd2_user_state,
     "validate_orders": q_validate_orders,
     "zscore_outliers": q_zscore_outliers,
+    "bigram_lm_score": q_bigram_lm_score,
     # --- NEW in r3: TPC-H-shaped join/agg/subquery additions ---
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
@@ -3204,6 +3212,28 @@ ORACLE_SQL: dict[str, str] = {
                CAST(ln(sum(c)) - sum(c * ln(c)) / sum(c) AS DOUBLE) AS word_entropy,
                CAST(sum(c) AS BIGINT) AS n_words
         FROM wc GROUP BY doc_id
+    """,
+    "bigram_lm_score": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+                             x -> x <> '') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks)),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY 1, 2),
+        cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(t) AS w FROM toks)),
+        scored AS (
+          SELECT g.doc_id,
+                 ln((bc.c12 + 0.1) / (cc.c1 + 0.1 * v.v)) AS lp
+          FROM grams g JOIN bc USING (w1, w2) JOIN cc USING (w1), v)
+        SELECT doc_id, round(-avg(lp), 4) AS cross_entropy,
+               CAST(count(*) AS BIGINT) AS n_bigrams
+        FROM scored GROUP BY doc_id
     """,
     "scd2_user_state": """
         WITH changed AS (
