@@ -37,6 +37,7 @@ def asof_join(
     right_ts: str,
     right_values: list[str],
     strict: bool = True,
+    tolerance_seconds: "float | None" = None,
 ) -> DataFrame:
     """For every left row, append the latest ``right_values`` from the right
     side with ``right.ts < left.ts`` (``strict=True``; ``<=`` otherwise).
@@ -45,6 +46,13 @@ def asof_join(
     Right rows that share a timestamp with a left row order BEFORE the left
     row when ``strict`` is False (so equal-ts matches are visible) and after
     it when True.
+
+    ``tolerance_seconds`` bounds staleness (pandas ``merge_asof`` parity,
+    and what a production feature lookup actually wants — a price from last
+    month must not decorate today's trade): matches older than the bound
+    come back NULL. Implemented by backfilling the matched right TIMESTAMP
+    alongside the values (same window, zero extra shuffles) and null-gating
+    on the microsecond-exact age.
     """
     lcols = left.columns
     # tag: right rows sort before left rows at equal ts iff inclusive
@@ -54,6 +62,7 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(left_tag).alias("__tag"),
         F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__r_ts"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_values],
     )
     r_tagged = right.select(
@@ -61,6 +70,7 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(right_tag).alias("__tag"),
         F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
+        F.col(right_ts).alias("__r_ts"),
         *[F.col(c).alias(f"__r_{c}") for c in right_values],
     )
     unioned = l_tagged.unionByName(r_tagged)
@@ -77,11 +87,24 @@ def asof_join(
     )
     filled = unioned.select(
         "__l",
+        "__ts",
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
             for c in right_values
         ],
     )
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__f_ts"))
+        ) <= int(tolerance_seconds * 1_000_000)
+        filled = filled.select(
+            "__l",
+            *[
+                F.when(fresh, F.col(f"__f_{c}")).alias(f"__f_{c}")
+                for c in right_values
+            ],
+        )
     return filled.filter(F.col("__l").isNotNull()).select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         *[F.col(f"__f_{c}").alias(f"asof_{c}") for c in right_values],

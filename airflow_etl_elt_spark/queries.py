@@ -588,6 +588,21 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     ).select("event_id", "asof_value")
 
 
+def q_asof_join_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with bounded staleness (pandas merge_asof ``tolerance``
+    parity): each click gets the user's latest purchase value only if that
+    purchase is at most 1 hour old — older matches come back NULL. Same
+    one-shuffle union-sort-backfill plan plus a null gate on the matched
+    timestamp's age."""
+    ev = read_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return asof.asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_values=["value"], strict=False, tolerance_seconds=3600,
+    ).select("event_id", "asof_value")
+
+
 def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     """Clicks landing within 2 hours after a purchase by the same user —
     epoch-grid bucketed interval join (equi-join plan, no nested loop)."""
@@ -1926,6 +1941,7 @@ QUERIES: dict[str, QueryFn] = {
     "validate_orders": q_validate_orders,
     "zscore_outliers": q_zscore_outliers,
     "bigram_lm_score": q_bigram_lm_score,
+    "asof_join_tolerance": q_asof_join_tolerance,
     # --- NEW in r3: TPC-H-shaped join/agg/subquery additions ---
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
@@ -2361,6 +2377,13 @@ ORACLE_SQL: dict[str, str] = {
     # as-of / range joins
     "asof_join": """
         SELECT a.event_id, b.value AS asof_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') a
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+    "asof_join_tolerance": """
+        SELECT a.event_id,
+               CASE WHEN a.ts - b.ts <= INTERVAL 1 HOUR THEN b.value END AS asof_value
         FROM (SELECT * FROM events WHERE event_type = 'click') a
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
           ON a.user_id = b.user_id AND a.ts >= b.ts
