@@ -38,6 +38,7 @@ def asof_join(
     right_values: list[str],
     strict: bool = True,
     tolerance_seconds: "float | None" = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, append the latest ``right_values`` from the right
     side with ``right.ts < left.ts`` (``strict=True``; ``<=`` otherwise).
@@ -53,7 +54,15 @@ def asof_join(
     come back NULL. Implemented by backfilling the matched right TIMESTAMP
     alongside the values (same window, zero extra shuffles) and null-gating
     on the microsecond-exact age.
+
+    ``direction="forward"`` (pandas parity) matches the EARLIEST right row
+    with ``right.ts > left.ts`` (or ``>=`` when ``strict`` is False) — the
+    same plan traversed on a reversed time axis: only the window's sort
+    direction flips, the tag/tie/tolerance machinery is shared.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     lcols = left.columns
     # tag: right rows sort before left rows at equal ts iff inclusive
     right_tag, left_tag = (0, 1) if not strict else (1, 0)
@@ -80,9 +89,12 @@ def asof_join(
     # without them last(ignorenulls) would carry whichever duplicate happened
     # to sort last (ADVICE r1). Left rows carry nulls there (sort first,
     # harmless — the tag already separates sides at equal ts).
+    # forward = the same traversal on a reversed time axis: among equal-ts
+    # ties the trailing ASC value keys still make last() pick the greatest
+    ts_key = F.col("__ts").desc() if fwd else F.col("__ts").asc()
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__tag", *[F.col(f"__r_{c}") for c in right_values])
+        .orderBy(ts_key, "__tag", *[F.col(f"__r_{c}") for c in right_values])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -95,9 +107,12 @@ def asof_join(
         ],
     )
     if tolerance_seconds is not None:
-        fresh = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__f_ts"))
-        ) <= int(tolerance_seconds * 1_000_000)
+        age = (
+            F.unix_micros(F.col("__f_ts")) - F.unix_micros(F.col("__ts"))
+            if fwd
+            else F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__f_ts"))
+        )
+        fresh = age <= int(tolerance_seconds * 1_000_000)
         filled = filled.select(
             "__l",
             *[

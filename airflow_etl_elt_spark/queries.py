@@ -603,6 +603,19 @@ def q_asof_join_tolerance(spark: SparkSession, sf: str) -> DataFrame:
     ).select("event_id", "asof_value")
 
 
+def q_asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join (pandas direction='forward'): each click gets the
+    user's NEXT purchase value at or after the click — same one-shuffle
+    union-sort-backfill plan on a reversed time axis."""
+    ev = read_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return asof.asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_values=["value"], strict=False, direction="forward",
+    ).select("event_id", "asof_value")
+
+
 def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     """Clicks landing within 2 hours after a purchase by the same user —
     epoch-grid bucketed interval join (equi-join plan, no nested loop)."""
@@ -1942,6 +1955,7 @@ QUERIES: dict[str, QueryFn] = {
     "zscore_outliers": q_zscore_outliers,
     "bigram_lm_score": q_bigram_lm_score,
     "asof_join_tolerance": q_asof_join_tolerance,
+    "asof_join_forward": q_asof_join_forward,
     # --- NEW in r3: TPC-H-shaped join/agg/subquery additions ---
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
@@ -2380,6 +2394,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT * FROM events WHERE event_type = 'click') a
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
           ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+    "asof_join_forward": """
+        SELECT a.event_id, b.value AS asof_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') a
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id AND a.ts <= b.ts
     """,
     "asof_join_tolerance": """
         SELECT a.event_id,
