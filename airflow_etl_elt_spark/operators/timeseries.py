@@ -197,3 +197,57 @@ def ewma(
     return events.withColumn(
         out_col, F.when(n > 0, num / den).cast("double")
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    partition_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Hourly gap-filling resample with forward-fill: for every key, a
+    CONTINUOUS hourly grid from its first to its last event, each bucket
+    carrying the latest value at-or-before it — the canonical
+    missing-bucket repair every downstream time-series model assumes has
+    already happened.
+
+    Plan shape: per-key bounds (one agg) → ``sequence()`` explode builds
+    the grid JVM-side (bounded by time span × keys, not event volume) →
+    per-(key, hour) last value via ``max_by`` over a (ts, id) struct
+    (deterministic under duplicate timestamps) → one left join onto the
+    grid → ``last(ignorenulls)`` window for the fill. Two shuffles total
+    (the hourly agg and the grid join share the key); the fill window
+    reuses the join's partitioning. Exactly SQL-expressible → exact
+    oracle.
+    """
+    from pyspark.sql import Window
+
+    hour = F.date_trunc("hour", F.col(ts_col))
+    bounds = events.groupBy(partition_col).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("__lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("__hi"),
+    )
+    grid = bounds.select(
+        partition_col,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    hourly = events.groupBy(
+        partition_col, hour.alias("bucket")
+    ).agg(
+        F.max_by(
+            value_col, F.struct(F.col(ts_col), F.col(id_col))
+        ).alias("__v")
+    )
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, [partition_col, "bucket"], "left")
+        .withColumn("value_ffill", F.last("__v", ignorenulls=True).over(w))
+        .select(partition_col, "bucket", "value_ffill")
+    )

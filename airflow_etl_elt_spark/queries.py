@@ -557,6 +557,15 @@ def q_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly gap-filling resample with forward-fill per user — the
+    missing-bucket repair downstream time-series models assume. Grid size
+    is bounded by time span × users, not event volume; exactly
+    oracle-checkable."""
+    ev = read_table(spark, sf, "events")
+    return timeseries.resample_ffill(ev)
+
+
 def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user truncated EWMA over event values (50-step window, α=0.3) —
     the exponential-smoothing feature every event-time model pipeline
@@ -1956,6 +1965,7 @@ QUERIES: dict[str, QueryFn] = {
     "bigram_lm_score": q_bigram_lm_score,
     "asof_join_tolerance": q_asof_join_tolerance,
     "asof_join_forward": q_asof_join_forward,
+    "resample_ffill": q_resample_ffill,
     # --- NEW in r3: TPC-H-shaped join/agg/subquery additions ---
     "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
@@ -3315,6 +3325,27 @@ ORACLE_SQL: dict[str, str] = {
                  AS n_outliers
         FROM events e JOIN stats s ON e.event_type = s.event_type
         GROUP BY e.event_type
+    """,
+    "resample_ffill": """
+        WITH bounds AS (
+          SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+                 date_trunc('hour', max(ts)) AS hi
+          FROM events GROUP BY user_id),
+        grid AS (
+          SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+          FROM bounds),
+        hourly AS (
+          SELECT user_id, bucket, value AS v FROM (
+            SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1)
+        SELECT g.user_id, g.bucket,
+               last_value(h.v IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.bucket = h.bucket
     """,
     "ewma": """
         WITH ordered AS (
