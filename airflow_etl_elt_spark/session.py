@@ -46,6 +46,11 @@ DEFAULT_CONF: dict[str, str] = {
     # shuffle joins to broadcast at runtime using ACCURATE post-shuffle sizes.
     "spark.sql.autoBroadcastJoinThreshold": str(16 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # Stage-progress bars write \r-animated lines to the console; anything
+    # capturing stdout/stderr tails (the bench driver keeps only the last
+    # ~2000 chars) gets its window flooded by them. Nothing here is
+    # interactive, so turn them off globally.
+    "spark.ui.showConsoleProgress": "false",
     # Don't hold task slots waiting for data-local executors: on local mode
     # locality is meaningless, and on a cluster reading remote object storage
     # (the 100 TB deployment shape) every read is non-local anyway.
