@@ -43,9 +43,17 @@ def revenue_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
     the final order uses ``ordered_small`` (no range exchange).
     """
     from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
-    from airflow_etl_elt_spark.operators.relational import ordered_small
+    from airflow_etl_elt_spark.operators.relational import (
+        fuse_small_input,
+        ordered_small,
+    )
 
-    cc = F.broadcast(customer) if _plan_size_bytes(customer) < 64 * 1024 * 1024 else customer
+    if _plan_size_bytes(customer) < 64 * 1024 * 1024:
+        cc = F.broadcast(customer)
+        # broadcast probe + fused-small stream side = one fresh-build stage
+        orders = fuse_small_input(orders.select("o_custkey", "o_totalprice"))
+    else:
+        cc = customer
     return ordered_small(
         orders.join(cc, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
@@ -75,10 +83,23 @@ def revenue_by_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         _MEDIAN_SMALL_BYTES,
         _plan_size_bytes,
     )
+    from airflow_etl_elt_spark.operators.relational import fuse_small_input
 
     build = orders
     if _plan_size_bytes(orders) < _MEDIAN_SMALL_BYTES:
         build = orders.hint("shuffle_hash")
+    # Fresh-build mode: fusing BOTH small sides makes them SinglePartition-
+    # compatible, so the join and the rollup plan no exchange at all (one
+    # stage). Fusing only one side would just move the exchange; the size
+    # gate keys off lineitem (always the larger side here).
+    li_pruned = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+    li_fused = fuse_small_input(li_pruned)
+    if li_fused is not li_pruned:
+        lineitem = li_fused
+        # keep the hash build: SMJ would in-partition-sort both fused sides
+        build = fuse_small_input(
+            orders.select("o_orderkey", "o_orderpriority")
+        ).hint("shuffle_hash")
     return (
         lineitem.join(build, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
@@ -183,9 +204,15 @@ def top_revenue_orders(
         orders.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
         .removesuffix("b")
     )
+    from airflow_etl_elt_spark.operators.relational import fuse_small_input
+
+    lineitem = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
     if 0 < _plan_size_bytes(orders.select("o_orderkey", "o_orderdate")) < threshold:
         segment_orders = F.broadcast(segment_orders)
-    lineitem = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        # With the probe side broadcast, a fused-small lineitem turns the
+        # whole query into one stage in fresh-build mode (gate no-ops in
+        # prepared mode and above the size bound — the distributed shape).
+        lineitem = fuse_small_input(lineitem)
     return (
         lineitem.join(segment_orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")

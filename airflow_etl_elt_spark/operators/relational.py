@@ -50,20 +50,55 @@ def ordered_small(df: DataFrame, *cols, desc: bool = False) -> DataFrame:
     return df.coalesce(1).sortWithinPartitions(*keys)
 
 
-#: Small-input bound for the one cost-gated single-task regime that
-#: survives the catalog plan cache: similarity.cosine_topk's Arrow path
-#: (one big Arrow batch through one Python worker beats 32 tiny batches).
+#: Small-input bound for cost-gated single-task regimes (fuse_small_input,
+#: grouped_stats' numpy regime, similarity.cosine_topk's Arrow path).
 #: NOTE the unit: this bounds Catalyst's OPTIMIZED-PLAN size estimate
 #: (file bytes x column fraction), which for compressed numeric parquet
-#: under-reports in-memory row size ~10x. A round-4 lesson worth keeping:
-#: coalesce(1) regimes for windows/joins/aggs looked like wins when each
-#: invocation re-paid Catalyst planning (~0.1-1.4 s/query), but with
-#: prepared plans (queries.py plan cache) the distributed execution wins
-#: at EVERY fixture size (window top-k: 0.04 s distributed vs 0.25 s
-#: fused, execution-only), so those gates were removed rather than tuned.
+#: under-reports in-memory row size ~10x.
 SINGLE_TASK_BYTES = int(
     __import__("os").environ.get("SPARK_GRAFT_SINGLE_TASK_BYTES", str(4 * 1024 * 1024))
 )
+
+
+def fuse_small_input(df: DataFrame) -> DataFrame:
+    """Single-task regime for FRESH builds of small inputs, keyed off the
+    catalog plan cache switch.
+
+    The round-3/4 lesson, both halves: which plan shape wins depends on
+    which costs an invocation actually pays.
+
+    - **Prepared mode** (plan cache ON — the default, and a query service's
+      steady state): each call re-executes a cached DataFrame, paying
+      execution only. There the distributed plan wins at EVERY fixture size
+      (window top-k: 0.04 s distributed vs 0.25 s fused, execution-only),
+      so this gate returns the input UNCHANGED and the plan keeps its
+      parallelism — the shape that also stands at 100 TB.
+    - **Fresh-build mode** (``SPARK_GRAFT_PLAN_CACHE=0`` — one-shot scripts,
+      and the bench headline, which matches DuckDB's re-plan-and-re-execute
+      discipline): every call pays Catalyst planning plus one JOB PER QUERY
+      STAGE of scheduling. Fusing a small input to one partition is a
+      narrow ``coalesce`` — SinglePartition satisfies every
+      ClusteredDistribution, so windows/aggregations/joins over it plan NO
+      exchange and the whole query collapses to one stage (BENCH_r03:
+      window_topk 2.14x vs 10.55x after round 4 removed these gates —
+      removed on execution-only measurements, i.e. tuned for the mode the
+      headline doesn't measure; VERDICT r4 next-step 2 reverses that).
+
+    Size gate: Catalyst's optimized-plan estimate < SINGLE_TASK_BYTES
+    (~1-2M numeric rows at the 4 MB default given parquet's ~10x
+    under-report). Above it the plan is returned unchanged in both modes.
+    Callers pass the input ALREADY projected so the gate measures what will
+    actually flow.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PLAN_CACHE", "1") != "0":
+        return df
+    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+
+    if _plan_size_bytes(df) < SINGLE_TASK_BYTES:
+        return df.coalesce(1)
+    return df
 
 
 def derive_flag(df: DataFrame, out_col: str, src_col: str, threshold) -> DataFrame:

@@ -51,9 +51,12 @@ def hourly_agg(events: DataFrame) -> DataFrame:
     type), bounded by time span not data volume → ``ordered_small`` for
     the final order instead of a range exchange.
     """
-    from airflow_etl_elt_spark.operators.relational import ordered_small
+    from airflow_etl_elt_spark.operators.relational import (
+        fuse_small_input,
+        ordered_small,
+    )
 
-    events = events.select("ts", "event_type", "value")
+    events = fuse_small_input(events.select("ts", "event_type", "value"))
     return ordered_small(
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -104,13 +107,18 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     Classic two-window composition (lag → boundary flag → running sum) —
     entirely JVM-side, one shuffle on user_id reused by both windows (same
-    partitioning, Catalyst plans a single exchange). The streaming twin is
-    ``session_window`` (streaming/windowed.py).
+    partitioning, Catalyst plans a single exchange). Deliberately NOT
+    fused via ``fuse_small_input``: the output is data-sized (~1 session
+    per 10 events) and an interleaved A/B at sf0.1 showed the distributed
+    plan faster fresh as well (0.33 s vs 0.37 s — the 95k-row result's
+    decode+fetch dominates, which fusing cannot help). The streaming twin
+    is ``session_window`` (streaming/windowed.py).
     Returns one row per session: user_id, session_id (1-based per user),
     session_start, session_end, n_events.
     """
     from pyspark.sql import Window
 
+    events = events.select("user_id", "event_id", "ts")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # microsecond-exact gap (SURVEY.md §7 hazard family: second-truncated

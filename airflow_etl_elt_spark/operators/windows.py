@@ -27,24 +27,34 @@ def top_k_per_group(
 
     One shuffle on the group key; each group sorted independently. For heavy
     skew (one giant group), pre-aggregate or use a per-partition partial top-k
-    (e.g. groupBy + max_by/collect-sort for tiny k). Stays distributed even
-    on small inputs: with the catalog plan cache amortizing Catalyst
-    planning, the parallel window wins at every size (execution-only at
-    150k rows: 0.04 s distributed vs 0.25 s single-task).
-    """
-    from airflow_etl_elt_spark.operators.relational import ordered_small
+    (e.g. groupBy + max_by/collect-sort for tiny k).
 
+    Two plan shapes (see ``fuse_small_input`` for the mode split):
+
+    - **Distributed** (prepared mode, or any input above the size gate —
+      the 100 TB shape): the window runs parallel per group; the final
+      ordering of the bounded (#groups x k) output is a global ``orderBy``,
+      i.e. a RANGE EXCHANGE. The exchange is the point, not an accident: a
+      narrow ``coalesce(1)`` here would fuse into the SAME stage as the
+      window and silently single-task the full-input window (ADVICE r5) —
+      the barrier keeps the window stage parallel and range-sorts only the
+      tiny result.
+    - **Fused** (fresh-build mode, small input): the input is already one
+      partition, the window plans no exchange, and the sort is an in-place
+      ``sortWithinPartitions`` — one stage end to end.
+    """
+    from airflow_etl_elt_spark.operators.relational import fuse_small_input
+
+    fused = fuse_small_input(df)
     w = Window.partitionBy(group_col).orderBy(
         F.col(order_col).desc(), F.col(tiebreak_col)
     )
-    return ordered_small(
-        # output is #groups x k rows — bounded by construction
-        df.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
-            F.col("rn") <= k
-        ),
-        group_col,
-        "rn",
+    ranked = fused.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= k
     )
+    if fused is df:
+        return ranked.orderBy(group_col, "rn")
+    return ranked.sortWithinPartitions(group_col, "rn")
 
 
 def running_sum(

@@ -872,11 +872,15 @@ def q_cube_counts(spark: SparkSession, sf: str) -> DataFrame:
 def q_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
     """Ranking-function suite: dense_rank / percent_rank / ntile / cume_dist
     over one deterministic total order per priority. One hash exchange on
-    the partition key, each priority ranked in parallel."""
+    the partition key, each priority ranked in parallel; small inputs fuse
+    to one stage in fresh-build mode (fuse_small_input: SinglePartition
+    satisfies the window's ClusteredDistribution, so no exchange plans)."""
     from pyspark.sql import Window
 
-    o = read_table(spark, sf, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+    o = relational.fuse_small_input(
+        read_table(spark, sf, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
     )
     w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return o.select(
@@ -975,7 +979,11 @@ def q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
     oo = o.select("o_orderkey", "o_custkey")
     if _plan_size_bytes(oo) < 64 * 1024 * 1024:
         oo = F.broadcast(oo)
-    li = li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    # all probe sides broadcast → a fused-small lineitem stream side makes
+    # the whole five-way join one fresh-build stage (no-op in prepared mode)
+    li = relational.fuse_small_input(
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    )
     return (
         li.join(F.broadcast(asian_sup), li.l_suppkey == F.col("s_suppkey"))
         .join(oo, li.l_orderkey == F.col("o_orderkey"))
@@ -1447,12 +1455,14 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     # shuffle joins stand.
     oo = o.select("o_orderkey", "o_custkey")
     cc = c.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    li = li.select("l_orderkey", "l_extendedprice", "l_discount")
     if (
         _plan_size_bytes(oo) < 64 * 1024 * 1024
         and _plan_size_bytes(cc) < 64 * 1024 * 1024
     ):
         oo, cc = F.broadcast(oo), F.broadcast(cc)
-    li = li.select("l_orderkey", "l_extendedprice", "l_discount")
+        # broadcast probes + fused-small stream side = one fresh-build stage
+        li = relational.fuse_small_input(li)
     return (
         li.join(oo, li.l_orderkey == F.col("o_orderkey"))
         .join(cc, F.col("o_custkey") == F.col("c_custkey"))
