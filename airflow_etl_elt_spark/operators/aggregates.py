@@ -309,10 +309,13 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     from airflow_etl_elt_spark.operators._cache import rotate_persist
 
     pre = df.groupBy(group_col).agg(
+        # double casts keep the two regimes' schemas IDENTICAL for any
+        # numeric input incl. DECIMAL (r4 advisory d): the numpy regime is
+        # double by construction
         F.avg(value_col).cast("double").alias("mean_val"),
-        F.stddev_samp(value_col).alias("std_val"),
-        F.min(value_col).alias("min_val"),
-        F.max(value_col).alias("max_val"),
+        F.stddev_samp(value_col).cast("double").alias("std_val"),
+        F.min(value_col).cast("double").alias("min_val"),
+        F.max(value_col).cast("double").alias("max_val"),
         F.count(F.lit(1)).alias("cnt"),
         F.count(value_col).alias("__nn"),
         F.percentile_approx(

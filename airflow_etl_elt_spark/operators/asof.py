@@ -71,7 +71,7 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(left_tag).alias("__tag"),
         F.struct(*lcols).alias("__l"),
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__r_ts"),
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__asof_mts"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_values],
     )
     r_tagged = right.select(
@@ -79,7 +79,7 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(right_tag).alias("__tag"),
         F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
-        F.col(right_ts).alias("__r_ts"),
+        F.col(right_ts).alias("__asof_mts"),
         *[F.col(c).alias(f"__r_{c}") for c in right_values],
     )
     unioned = l_tagged.unionByName(r_tagged)
@@ -100,7 +100,7 @@ def asof_join(
     filled = unioned.select(
         "__l",
         "__ts",
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+        F.last("__asof_mts", ignorenulls=True).over(w).alias("__asof_fts"),
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
             for c in right_values
@@ -108,9 +108,9 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         age = (
-            F.unix_micros(F.col("__f_ts")) - F.unix_micros(F.col("__ts"))
+            F.unix_micros(F.col("__asof_fts")) - F.unix_micros(F.col("__ts"))
             if fwd
-            else F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__f_ts"))
+            else F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__asof_fts"))
         )
         fresh = age <= int(tolerance_seconds * 1_000_000)
         filled = filled.select(

@@ -55,8 +55,12 @@ def _content_stream(series: "list[tuple[str, list[tuple[float, float]]]]",
                     title: str, xlabel: str, n_total: int) -> bytes:
     xs = [x for _, pts in series for x, _ in pts]
     ys = [y for _, pts in series for _, y in pts]
-    x0, x1 = min(xs), max(xs)
-    y1 = max(ys) or 1.0
+    # Empty input (kde_per_group over an empty frame) renders an axes-only
+    # chart instead of crashing on min()/max() of an empty sequence
+    # (ADVICE r5) — a pipeline run over zero rows should still produce its
+    # artifact, the way the reference's matplotlib call would.
+    x0, x1 = (min(xs), max(xs)) if xs else (0.0, 1.0)
+    y1 = (max(ys) if ys else 0.0) or 1.0
     if x1 == x0:
         x1 = x0 + 1.0
     px0, px1 = _ML, _W - _MR

@@ -273,7 +273,11 @@ def derived_lineitem_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln = F.col("l_linenumber").cast("long")
     commit_days = ((k * 7919 + ln * 104729) % 61 - 30).cast("int")
     receipt_days = (1 + (k * 2654435761 + ln * 40503) % 30).cast("int")
-    mode_idx = (1 + (k * 7 + ln * 13) % 7).cast("int")
+    # multiplier 11 is coprime to the 7 modes: with the old k*7 the orderkey
+    # term vanished mod 7 and l_shipmode became a pure function of
+    # l_linenumber (ADVICE r5) — q12's MAIL/SHIP filter then selected
+    # exactly two fixed linenumbers instead of a uniform spread
+    mode_idx = (1 + (k * 11 + ln * 13) % 7).cast("int")
     return (
         li.withColumn(
             "l_commitdate", F.timestamp_add("DAY", commit_days, F.col("l_shipdate"))
@@ -297,7 +301,7 @@ lineitem_ext AS (
          l_shipdate + (((l_orderkey * 7919 + l_linenumber * 104729) % 61) - 30) * INTERVAL 1 DAY AS l_commitdate,
          l_shipdate + (1 + (l_orderkey * 2654435761 + l_linenumber * 40503) % 30) * INTERVAL 1 DAY AS l_receiptdate,
          list_extract(['REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB'],
-                      CAST(1 + (l_orderkey * 7 + l_linenumber * 13) % 7 AS INTEGER)) AS l_shipmode
+                      CAST(1 + (l_orderkey * 11 + l_linenumber * 13) % 7 AS INTEGER)) AS l_shipmode
   FROM lineitem l)
 """
 

@@ -182,12 +182,23 @@ class TxnTable:
                 last_exc = exc  # orphan dir stays unreferenced; vacuum reclaims
         raise last_exc  # type: ignore[misc]
 
-    def vacuum(self, keep_versions: int = 1) -> int:
+    def vacuum(
+        self, keep_versions: int = 1, retention_seconds: float = 3600.0
+    ) -> int:
         """Delete data directories unreferenced by the ``keep_versions``
         newest manifests (and orphans from lost races). Returns the number
         of directories removed. Readers of vacuumed-away versions break —
-        the standard retention trade, caller picks the horizon."""
+        the standard retention trade, caller picks the horizon.
+
+        ``retention_seconds`` is the in-flight-writer guard (the same check
+        Delta's VACUUM makes, default 7 days there): a concurrent writer
+        that has finished ``_write_data`` but not yet committed its manifest
+        has an UNREFERENCED directory on disk — deleting it would let the
+        subsequently committed manifest reference missing data (silent data
+        loss; ADVICE r5). Directories younger than the horizon are skipped;
+        pass 0 only when no concurrent writers can exist."""
         import shutil
+        import time
 
         latest = self.latest_version()
         if latest < 0 or not os.path.isdir(self.data_dir):
@@ -196,8 +207,16 @@ class TxnTable:
         for v in range(max(0, latest - keep_versions + 1), latest + 1):
             keep.update(self._read_manifest(v)["dirs"])
         removed = 0
+        horizon = time.time() - retention_seconds
         for rel in os.listdir(self.data_dir):
-            if rel not in keep:
-                shutil.rmtree(os.path.join(self.data_dir, rel), ignore_errors=True)
-                removed += 1
+            if rel in keep:
+                continue
+            path = os.path.join(self.data_dir, rel)
+            try:
+                if os.path.getmtime(path) > horizon:
+                    continue  # possibly an uncommitted writer's directory
+            except OSError:
+                continue  # raced with another vacuum; nothing to do
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
         return removed

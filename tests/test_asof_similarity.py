@@ -142,3 +142,22 @@ def test_ivf_partitioned_at_rest_prunes_probes(spark, tmp_path):
     # and the scan actually reads only the probed cells
     cells = {r["ivf_cell"] for r in probe.select("ivf_cell").distinct().collect()}
     assert cells <= {0, 1}
+
+
+def test_asof_join_right_values_named_ts(spark):
+    """ADVICE r5: a right_values column literally named "ts" used to
+    collide with the internal matched-timestamp alias (two __r_ts
+    columns). The caller wanting the matched timestamp back is the natural
+    use — it must come through as asof_ts."""
+    left, right = _frames(spark)
+    out = asof.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_values=["ts", "value"], strict=False,
+    )
+    got = {r["event_id"]: (r["asof_ts"], r["asof_value"]) for r in out.collect()}
+    assert got == {
+        1: (_ts(10), 100.0),
+        2: (_ts(18), 200.0),
+        3: (_ts(15), 300.0),
+        4: (None, None),
+    }

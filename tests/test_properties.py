@@ -146,3 +146,83 @@ def test_chunk_documents_covers_every_token(spark, n_tokens, chunk, overlap_frac
     for idx, chunk_text in out:
         start = idx * stride
         assert chunk_text.split(" ") == toks[start : start + chunk]
+
+
+def test_surrogate_key_distributed_contiguous(spark):
+    """JVM-side zipWithIndex replacement (VERDICT r4 next-step 6): ids are
+    exactly 1..N with no Python in the row path, across a multi-partition
+    input with uneven partition sizes."""
+    from airflow_etl_elt_spark.operators.relational import (
+        surrogate_key_distributed,
+    )
+
+    df = spark.range(0, 1000, 1, 7).selectExpr("id AS k")
+    out = surrogate_key_distributed(df)
+    ids = [r["id"] for r in out.collect()]
+    assert sorted(ids) == list(range(1, 1001))
+    # empty input: the id column exists, typed bigint
+    empty = surrogate_key_distributed(df.filter("k < 0"))
+    assert empty.count() == 0 and dict(empty.dtypes)["id"] == "bigint"
+
+
+def test_grouped_stats_regimes_agree_on_decimal(spark):
+    """r4 advisory (d): the one-task and bracketed grouped_stats regimes
+    must produce the same schema and values for DECIMAL inputs (the
+    bracketed path casts avg to double; the numpy path is double by
+    construction; min/max stay comparable)."""
+    import os
+
+    from airflow_etl_elt_spark.operators import relational
+    from airflow_etl_elt_spark.operators.aggregates import grouped_stats
+
+    df = spark.createDataFrame(
+        [(g, f"{v}.25") for g in ("a", "b") for v in range(1, 8)],
+        "g string, v string",
+    ).selectExpr("g", "CAST(v AS DECIMAL(10,2)) AS v")
+    old_env = os.environ.get("SPARK_GRAFT_PLAN_CACHE")
+    old_bytes = relational.SINGLE_TASK_BYTES
+    try:
+        os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"  # fresh mode: numpy path
+        relational.SINGLE_TASK_BYTES = 1 << 62
+        bracketed = grouped_stats(df, "g", "v")
+        relational.SINGLE_TASK_BYTES = old_bytes
+        numpy_path = grouped_stats(df, "g", "v")
+    finally:
+        relational.SINGLE_TASK_BYTES = old_bytes
+        if old_env is None:
+            os.environ.pop("SPARK_GRAFT_PLAN_CACHE", None)
+        else:
+            os.environ["SPARK_GRAFT_PLAN_CACHE"] = old_env
+    rows_b = sorted((tuple(r) for r in bracketed.collect()))
+    rows_n = sorted((tuple(r) for r in numpy_path.collect()))
+    assert len(rows_b) == len(rows_n) == 2
+    for rb, rn in zip(rows_b, rows_n):
+        assert rb[0] == rn[0]
+        for vb, vn in zip(rb[1:], rn[1:]):
+            assert abs(float(vb) - float(vn)) < 1e-9
+
+
+def test_grouped_stats_regime_schemas_identical(spark):
+    import os
+
+    from airflow_etl_elt_spark.operators import relational
+    from airflow_etl_elt_spark.operators.aggregates import grouped_stats
+
+    df = spark.createDataFrame(
+        [("a", "1.25"), ("a", "2.50"), ("b", "3.75")], "g string, v string"
+    ).selectExpr("g", "CAST(v AS DECIMAL(10,2)) AS v")
+    old_env = os.environ.get("SPARK_GRAFT_PLAN_CACHE")
+    old_bytes = relational.SINGLE_TASK_BYTES
+    try:
+        os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"
+        relational.SINGLE_TASK_BYTES = 1 << 62
+        dt_b = grouped_stats(df, "g", "v").dtypes
+        relational.SINGLE_TASK_BYTES = old_bytes
+        dt_n = grouped_stats(df, "g", "v").dtypes
+    finally:
+        relational.SINGLE_TASK_BYTES = old_bytes
+        if old_env is None:
+            os.environ.pop("SPARK_GRAFT_PLAN_CACHE", None)
+        else:
+            os.environ["SPARK_GRAFT_PLAN_CACHE"] = old_env
+    assert dt_b == dt_n

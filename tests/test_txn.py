@@ -93,7 +93,12 @@ def test_vacuum_reclaims_unreferenced(spark, table):
         spark.createDataFrame([(9, "z", 0.0)], "id bigint, name string, v double")
     )
     n_dirs_before = len(os.listdir(table.data_dir))
-    removed = table.vacuum(keep_versions=1)
+    # default retention guard: everything here is younger than the horizon,
+    # so nothing may be deleted even though it is unreferenced (the
+    # in-flight-writer protection)
+    assert table.vacuum(keep_versions=1) == 0
+    assert len(os.listdir(table.data_dir)) == n_dirs_before
+    removed = table.vacuum(keep_versions=1, retention_seconds=0.0)
     assert removed >= 1
     assert len(os.listdir(table.data_dir)) == n_dirs_before - removed
     # the current snapshot survives
