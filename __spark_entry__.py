@@ -13,11 +13,24 @@ multimodal plumbing). This file is just the thin driver-facing adapter.
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from airflow_etl_elt_spark.queries import ORACLE_SQL, QUERIES
+# Python WORKERS resolve imports from PYTHONPATH + their cwd, not the
+# driver's sys.path. The driver imports this file with its own plain
+# SparkSession from an arbitrary cwd; without this pin, the first
+# pandas-UDF-backed key (minhash/simhash/multimodal) would die in the
+# worker with ModuleNotFoundError — and now that dedup_minhash is
+# hash-checked (r5) that would read as a correctness failure. Same move as
+# session.get_session; must happen before the JVM forks its first worker.
+_pkg_root = _os.path.dirname(_os.path.abspath(__file__))
+_pp = _os.environ.get("PYTHONPATH", "")
+if _pkg_root not in _pp.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = _pkg_root + (_os.pathsep + _pp if _pp else "")
+
+from airflow_etl_elt_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -371,10 +371,14 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """Banded MinHash LSH near-dup pairs. Rows-only (hash family is
-    Spark-side xxhash64 — no DuckDB twin); recall gate in tests/test_recall.
-    The bench times THIS raw operator; ``dedup_minhash_verified`` is the
-    driver-facing hard-signal twin."""
+    """Banded MinHash LSH near-dup pairs. Exact-oracled as of r5
+    (``_minhash_oracle``): the whole sketch — md5 token hashes, rolling
+    polynomial shingles, the 64 seeded permutations, band collision,
+    agreement estimate — is replicated in DuckDB SQL, with the band
+    xxhash64 replaced by direct band-slice equality (pure candidate
+    generation, identical up to a ~2^-64 collision). Recall gate remains
+    in tests/test_recall; ``dedup_minhash_verified`` carries the
+    est-vs-exact self-check."""
     return dedup.minhash_lsh_pairs(read_table(spark, sf, "documents"), threshold=0.4)
 
 
@@ -2166,6 +2170,107 @@ def prepare_all(
 
 QUERIES = {k: _plan_cached(k, fn) for k, fn in QUERIES.items()}
 
+def _minhash_oracle() -> str:
+    """DuckDB twin of ``dedup.minhash_lsh_pairs`` (threshold 0.4) — the
+    r5 conversion of the last big rows-only key to an exact oracle
+    (VERDICT r4 next-step 5), following the ``dedup_simhash`` precedent.
+
+    Every stage of the sketch is replicated in SQL:
+
+    - token hash: little-endian first-8-bytes of md5 (the
+      ``_batch_token_hashes`` policy), assembled as HUGEINT from hex pairs;
+    - shingle hash: the k=5 rolling polynomial ``acc*M + th`` wrapping mod
+      2^64, with M split into 32-bit limbs so no product exceeds HUGEINT
+      (DuckDB has no wrapping 64-bit multiply); out-of-range list indexes
+      coalesce to 0 = the NumPy zero-padding of short documents;
+    - permutations: the 64 (a_i, b_i) pairs come from the SAME
+      ``random.Random(42)`` stream as the Spark side and are inlined as
+      literals (a Mersenne Twister is not SQL-expressible; the constants
+      are);
+    - banding: Spark buckets on xxhash64(band slice) — pure candidate
+      generation, so the oracle equi-joins on the band SLICES directly
+      (equal inputs hash equal; a cross-slice xxhash collision is ~2^-64);
+    - est_jaccard: agreeing-minhash fraction over the 64 lanes, filtered
+      at the same threshold.
+    """
+    import random
+
+    p = (1 << 31) - 1
+    rng = random.Random(42)
+    a_consts = [rng.randrange(1, p) for _ in range(64)]
+    b_consts = [rng.randrange(0, p) for _ in range(64)]
+    mh, ml = 0x9E3779B9, 0x7F4A7C15  # golden-ratio multiplier, 32-bit limbs
+    m64 = 1 << 64
+
+    def mulmod(a: str) -> str:
+        # (a * M) % 2^64 with M = mh*2^32 + ml, every product < 2^97
+        return (
+            f"(({a}) * {ml} + ((({a}) % 4294967296) * {mh}) % 4294967296"
+            f" * 4294967296) % {m64}"
+        )
+
+    th = (
+        "CAST(CAST(('0x' || substr(md5(tok),15,2) || substr(md5(tok),13,2) || "
+        "substr(md5(tok),11,2) || substr(md5(tok),9,2)) AS BIGINT) AS HUGEINT)"
+        " * 4294967296"
+        " + CAST(('0x' || substr(md5(tok),7,2) || substr(md5(tok),5,2) || "
+        "substr(md5(tok),3,2) || substr(md5(tok),1,2)) AS BIGINT)"
+    )
+    pad = "coalesce(hl[i+{j}], CAST(0 AS HUGEINT))"
+    acc_stages = []
+    for j in range(1, 5):
+        acc_stages.append(
+            f"sh{j+1} AS (SELECT doc_id, hl, i, "
+            f"({mulmod('acc')} + {pad.format(j=j)}) % {m64} AS acc FROM sh{j})"
+        )
+    mins = ",\n               ".join(
+        f"min((h * {a_consts[i]} + {b_consts[i]}) % {p}) AS s{i}"
+        for i in range(64)
+    )
+    siglist = "[" + ", ".join(f"CAST(s{i} AS BIGINT)" for i in range(64)) + "]"
+    stages = "\n        ".join(s + "," for s in acc_stages)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '[ \\t\\n\\x0B\\f\\r]+'),
+                             t -> t <> '') AS tl
+          FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> ''),
+        hashes AS (
+          SELECT doc_id, list_transform(tl, tok -> {th}) AS hl FROM toks),
+        expanded AS (
+          SELECT doc_id, hl,
+                 unnest(generate_series(1, greatest(len(hl) - 4, 1))) AS i
+          FROM hashes),
+        sh1 AS (SELECT doc_id, hl, i,
+                       {pad.format(j=0)} AS acc FROM expanded),
+        {stages}
+        hmod AS (SELECT doc_id, CAST(acc % {p} AS BIGINT) AS h FROM sh5),
+        sigs AS (
+          SELECT doc_id,
+               {mins}
+          FROM hmod GROUP BY doc_id),
+        sigl AS (SELECT doc_id, {siglist} AS sig FROM sigs),
+        bands AS (
+          SELECT doc_id, jj.j, sig[4*jj.j+1:4*jj.j+4] AS bs
+          FROM sigl, (SELECT unnest(generate_series(0, 15)) AS j) jj),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.j = b.j AND a.bs = b.bs AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, est_jaccard FROM (
+          SELECT c.id_a, c.id_b,
+                 list_sum(list_transform(range(1, 65),
+                          k -> CASE WHEN sa.sig[k] = sb.sig[k]
+                                    THEN 1 ELSE 0 END)) / 64.0 AS est_jaccard
+          FROM cand c
+          JOIN sigl sa ON sa.doc_id = c.id_a
+          JOIN sigl sb ON sb.doc_id = c.id_b)
+        WHERE est_jaccard >= 0.4
+    """
+
+
 _EN_STOP_PATTERN = r"\b(the|and|of|to|in|is)\b"
 
 
@@ -3393,6 +3498,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT lbl, id_a, id_b, cosine FROM ranked WHERE rn <= 3
         ORDER BY lbl, cosine DESC, id_a, id_b
     """,
+    "dedup_minhash": _minhash_oracle(),
 }
 
 # Keys intentionally WITHOUT oracle SQL (driver records rows-only check):
