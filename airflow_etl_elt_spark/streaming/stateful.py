@@ -55,3 +55,123 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def ewma_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Streaming EWMA per key — the ``transformWithState``-shaped twin of
+    ``operators.timeseries.ewma`` (VERDICT r4 next-step 7).
+
+    State per key is the numerator/denominator pair of the adjust-style
+    weighted mean (``swx = x + (1-α)·swx``, ``sw = 1 + (1-α)·sw``) — two
+    doubles however long the series, emitted as ``swx/sw`` per row. This is
+    the UNtruncated recursion; the batch operator truncates at 50 steps for
+    SQL-oracle portability, so the two agree to within (1-α)^50 · range
+    (≈2e-8 of range at the defaults) — asserted in the parity test.
+
+    Ordering contract: rows are sorted by (ts, tiebreak) WITHIN each
+    micro-batch; ACROSS batches per-key in-order arrival is assumed (the
+    file-drop replay shape). A stream with cross-batch disorder needs a
+    watermark-buffered reorder upstream — the trade every recursive
+    stateful op makes, unlike the commutative windowed aggs.
+    """
+    out_schema = (
+        f"{key_col} bigint, {tiebreak_col} bigint, ewma double"
+    )
+    state_schema = "swx double, sw double"
+    decay = 1.0 - alpha
+
+    def fn(key, pdfs, state: GroupState):
+        swx, sw = state.get if state.exists else (0.0, 0.0)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        out = []
+        if frames:
+            batch = pd.concat(frames, ignore_index=True).sort_values(
+                [ts_col, tiebreak_col]
+            )
+            for tb, x in zip(batch[tiebreak_col], batch[value_col]):
+                swx = float(x) + decay * swx
+                sw = 1.0 + decay * sw
+                out.append((key[0], tb, swx / sw))
+        state.update((swx, sw))
+        yield pd.DataFrame(out, columns=[key_col, tiebreak_col, "ewma"])
+
+    return (
+        events.select(key_col, ts_col, tiebreak_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def scd2_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_cols: "tuple[str, ...]" = ("event_type",),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming Type-2 SCD history — the stateful twin of
+    ``operators.relational.scd2_history``.
+
+    State per key is (valid_from, current attribute tuple as JSON). Each
+    micro-batch is processed in (ts, tiebreak) order; an attribute change
+    EMITS the closed interval (valid_to = change ts, is_current never —
+    closed rows only) and rolls the state. The open interval lives in
+    state until the next change; the batch operator materializes it as the
+    ``is_current`` row, so parity tests compare the CLOSED intervals.
+    Same cross-batch in-order contract as ``ewma_stream``.
+    """
+    import json
+
+    attr_sql = ", ".join(f"{c} string" for c in attr_cols)
+    out_schema = (
+        f"{key_col} bigint, {attr_sql}, valid_from timestamp, valid_to timestamp"
+    )
+    state_schema = "valid_from_us bigint, attrs string"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            vf_us, attrs_json = state.get
+            cur = json.loads(attrs_json)
+        else:
+            vf_us, cur = None, None
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        out = []
+        if frames:
+            batch = pd.concat(frames, ignore_index=True).sort_values(
+                [ts_col, tiebreak_col]
+            )
+            for _, row in batch.iterrows():
+                attrs = [
+                    None if pd.isna(row[c]) else str(row[c]) for c in attr_cols
+                ]
+                if cur is None:
+                    cur, vf_us = attrs, row[ts_col].value // 1000
+                elif attrs != cur:
+                    out.append(
+                        (key[0], *cur,
+                         pd.Timestamp(vf_us, unit="us"),
+                         pd.Timestamp(row[ts_col].value // 1000, unit="us"))
+                    )
+                    cur, vf_us = attrs, row[ts_col].value // 1000
+        if cur is not None:
+            state.update((vf_us, json.dumps(cur)))
+        yield pd.DataFrame(
+            out, columns=[key_col, *attr_cols, "valid_from", "valid_to"]
+        )
+
+    return (
+        events.select(key_col, ts_col, tiebreak_col, *attr_cols)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -171,3 +171,45 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str, query_name: str
 
 def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().logical().toString()
+
+
+def stream_asof_enrich(
+    stream_df: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: "list[str]",
+    out_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming as-of enrichment against a STATIC right side — the
+    foreachBatch twin of ``operators.asof.asof_join`` (VERDICT r4
+    next-step 7).
+
+    Each micro-batch of left rows runs the unchanged batch as-of plan
+    against the (re-planned per batch, so refreshable) static frame.
+    Because every left row matches independently against the static right,
+    the result is EXACTLY the batch join's regardless of how the stream is
+    micro-batched — asserted in the parity test. A stream-STREAM as-of
+    (both sides moving) is deliberately not offered: "latest right before
+    each left" needs per-key ordering that Spark's watermarked interval
+    joins cannot guarantee without a reorder buffer; the honest shapes are
+    this stream-static form or an upstream sessionized materialization.
+    """
+    from airflow_etl_elt_spark.operators.asof import asof_join
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        out = asof_join(
+            batch_df, right, on=on, left_ts=left_ts, right_ts=right_ts,
+            right_values=right_values, strict=False,
+        )
+        out.write.mode("append").parquet(out_path)
+
+    (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

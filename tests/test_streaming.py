@@ -253,3 +253,119 @@ def test_pii_redact_is_streaming_legal(spark, tmp_path):
     assert counts[0] == (1, 0, 1)
     assert counts[1] == (0, 1, 0)
     assert counts[2] == (0, 0, 0)
+
+
+def test_ewma_stream_matches_batch(spark, tmp_path):
+    """Streaming EWMA (two-double state, untruncated recursion) agrees with
+    the batch 50-step-truncated operator to within the documented
+    (1-alpha)^50 bound, across TWO micro-batch runs through the
+    checkpoint."""
+    from airflow_etl_elt_spark.operators.timeseries import ewma
+    from airflow_etl_elt_spark.streaming.stateful import ewma_stream
+    from airflow_etl_elt_spark.streaming.windowed import read_events_stream
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(i, _ts(0, i), 1 + (i % 2), "e", float(i * 7 % 5), "{}") for i in range(8)]
+    rows2 = [(i, _ts(1, i - 8), 1 + (i % 2), "e", float(i * 3 % 4), "{}") for i in range(8, 14)]
+    _write_event_drop(spark, src, rows1)
+    got1 = _run_foreach_batch(
+        ewma_stream(read_events_stream(spark, src)), ckpt
+    )
+    _write_event_drop(spark, src, rows2)
+    got2 = _run_foreach_batch(
+        ewma_stream(read_events_stream(spark, src)), ckpt
+    )
+    streamed = {r["event_id"]: r["ewma"] for r in got1 + got2}
+    batch = {
+        r["event_id"]: r["ewma"]
+        for r in ewma(spark.read.parquet(src)).collect()
+    }
+    assert set(streamed) == set(batch)
+    for eid in batch:
+        assert abs(streamed[eid] - batch[eid]) < 1e-6
+
+
+def test_scd2_stream_closed_intervals_match_batch(spark, tmp_path):
+    """Streaming SCD2 emits each CLOSED validity interval exactly once as
+    attribute changes arrive, matching the batch scd2_history's non-current
+    rows — including a change that spans the micro-batch boundary."""
+    from airflow_etl_elt_spark.operators.relational import scd2_history
+    from airflow_etl_elt_spark.streaming.stateful import scd2_stream
+    from airflow_etl_elt_spark.streaming.windowed import read_events_stream
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    _write_event_drop(spark, src, [
+        (1, _ts(0, 0), 1, "bronze", 0.0, "{}"),
+        (2, _ts(0, 10), 1, "bronze", 0.0, "{}"),
+        (3, _ts(0, 20), 1, "silver", 0.0, "{}"),
+        (4, _ts(0, 5), 2, "bronze", 0.0, "{}"),
+    ])
+    got1 = _run_foreach_batch(scd2_stream(read_events_stream(spark, src)), ckpt)
+    # second drop: user 1 changes again, user 2's first change arrives
+    _write_event_drop(spark, src, [
+        (5, _ts(1, 0), 1, "gold", 0.0, "{}"),
+        (6, _ts(1, 5), 2, "silver", 0.0, "{}"),
+    ])
+    got2 = _run_foreach_batch(scd2_stream(read_events_stream(spark, src)), ckpt)
+    streamed = sorted(
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"])
+        for r in got1 + got2
+    )
+    batch = sorted(
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"])
+        for r in scd2_history(
+            spark.read.parquet(src), "user_id", "ts", ["event_type"], "event_id"
+        ).collect()
+        if not r["is_current"]
+    )
+    assert streamed == batch and len(streamed) == 3
+
+
+def test_stream_asof_enrich_matches_batch(spark, tmp_path):
+    """foreachBatch as-of enrichment over a static right side is exactly
+    the batch as-of join however the left stream is micro-batched."""
+    import datetime as dt
+
+    from airflow_etl_elt_spark.operators.asof import asof_join
+    from airflow_etl_elt_spark.streaming.windowed import (
+        read_events_stream,
+        stream_asof_enrich,
+    )
+
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0), 10.0),
+         (1, dt.datetime(2024, 1, 1, 0, 30), 20.0),
+         (2, dt.datetime(2024, 1, 1, 0, 15), 30.0)],
+        "user_id bigint, rts timestamp, price double",
+    )
+    _write_event_drop(spark, src, [(1, _ts(0, 10), 1, "e", 0.0, "{}"),
+                                   (2, _ts(0, 40), 1, "e", 0.0, "{}")])
+    stream_asof_enrich(
+        read_events_stream(spark, src), right, on="user_id",
+        left_ts="ts", right_ts="rts", right_values=["price"],
+        out_path=out, checkpoint_dir=ckpt,
+    )
+    _write_event_drop(spark, src, [(3, _ts(0, 20), 2, "e", 0.0, "{}"),
+                                   (4, _ts(0, 5), 2, "e", 0.0, "{}")])
+    stream_asof_enrich(
+        read_events_stream(spark, src), right, on="user_id",
+        left_ts="ts", right_ts="rts", right_values=["price"],
+        out_path=out, checkpoint_dir=ckpt,
+    )
+    streamed = sorted(
+        (r["event_id"], r["asof_price"])
+        for r in spark.read.parquet(out).collect()
+    )
+    batch = sorted(
+        (r["event_id"], r["asof_price"])
+        for r in asof_join(
+            spark.read.parquet(src), right, on="user_id", left_ts="ts",
+            right_ts="rts", right_values=["price"], strict=False,
+        ).collect()
+    )
+    assert streamed == batch == [(1, 10.0), (2, 20.0), (3, 30.0), (4, None)]
