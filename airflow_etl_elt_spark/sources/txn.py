@@ -220,3 +220,107 @@ class TxnTable:
             shutil.rmtree(path, ignore_errors=True)
             removed += 1
         return removed
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_partitions: int = 1,
+        sort_cols: "list[str] | None" = None,
+        max_retries: int = 3,
+    ) -> int:
+        """OPTIMIZE: rewrite the current snapshot's accumulated small
+        directories into one fresh directory of ``target_partitions`` files,
+        optionally sorted within files by ``sort_cols`` (the poor-man's
+        Z-order: co-locating rows by the columns queries filter on lets the
+        parquet reader skip row groups via min/max stats). Contents are
+        bit-identical to the pre-compaction snapshot; the commit is a new
+        VERSION, so time travel to pre-compaction versions keeps working
+        until ``vacuum`` reclaims them.
+
+        This is the maintenance operation an append-heavy 100 TB table
+        needs: each streaming micro-batch commit adds a directory, and a
+        thousand tiny directories turn every snapshot scan into a
+        file-listing storm. Optimistic-concurrency like ``merge``: a racing
+        writer costs a retry against the fresh snapshot, never a torn table.
+        """
+        last_exc: Exception | None = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self._read_manifest(base)
+            if len(m["dirs"]) <= 1 and sort_cols is None:
+                return base  # nothing to compact
+            current = self.snapshot(spark, base)
+            if sort_cols:
+                current = current.repartitionByRange(
+                    target_partitions, *sort_cols
+                ).sortWithinPartitions(*sort_cols)
+            else:
+                current = current.coalesce(target_partitions)
+            rel = self._write_data(current)
+            try:
+                self._commit(
+                    base + 1,
+                    {"op": "compact", "dirs": [rel], "schema": m["schema"]},
+                )
+                return base + 1
+            except ConcurrentWriteError as exc:
+                last_exc = exc  # orphan dir stays unreferenced; vacuum reclaims
+        raise last_exc  # type: ignore[misc]
+
+    def change_feed(
+        self,
+        spark: SparkSession,
+        key: str,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """CDC between two committed versions: the ``to_version`` schema's
+        rows tagged ``_change_type`` in (insert, update_postimage, delete) —
+        the consumer-facing slice of Delta's change data feed, derived from
+        the two snapshots rather than stored per-commit.
+
+        Diff shape: both snapshots hash their non-key columns scan-side
+        (xxhash64 of a struct — one codegen expression), then a single
+        full-outer join ON THE KEY classifies every row; unchanged rows
+        (hash equal) drop out. The shuffle carries (key, 8-byte hash) plus
+        the post-image rows that survive — never both full snapshots' bodies
+        twice. Deletes carry the old row's values with ``_change_type =
+        'delete'``. O(|old| + |new|) with one exchange per side at any
+        scale; an append-only table could shortcut to reading just the
+        directories added between the manifests — left as the documented
+        optimization because the general form must exist anyway (merge and
+        replace rewrite directories wholesale).
+        """
+        to_v = self.latest_version() if to_version is None else to_version
+        old = self.snapshot(spark, from_version)
+        new = self.snapshot(spark, to_v)
+        cols = new.columns
+        val_cols = [c for c in cols if c != key]
+        h = F.xxhash64(F.struct(*[F.col(c) for c in val_cols]))
+        o = old.select(
+            F.col(key).alias("__ok"),
+            h.alias("__oh"),
+            F.struct(*[F.col(c) for c in cols]).alias("__orow"),
+        )
+        n = new.select(
+            F.col(key).alias("__nk"),
+            h.alias("__nh"),
+            F.struct(*[F.col(c) for c in cols]).alias("__nrow"),
+        )
+        joined = o.join(n, o["__ok"] == n["__nk"], "full_outer")
+        change = (
+            F.when(F.col("__ok").isNull(), F.lit("insert"))
+            .when(F.col("__nk").isNull(), F.lit("delete"))
+            .when(F.col("__oh") != F.col("__nh"), F.lit("update_postimage"))
+        )
+        row = F.when(F.col("__nk").isNull(), F.col("__orow")).otherwise(
+            F.col("__nrow")
+        )
+        return (
+            joined.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(
+                *[row[c].alias(c) for c in cols],
+                "_change_type",
+            )
+        )

@@ -8,6 +8,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from airflow_etl_elt_spark.sources.txn import ConcurrentWriteError, TxnTable
 
 
@@ -127,3 +129,48 @@ def test_stream_merge_txn(spark, table, tmp_path):
     stream_merge_txn(stream2, table, key_col="id", checkpoint_dir=str(tmp_path / "ck"))
     got2 = {r["id"]: r["name"] for r in table.snapshot(spark).collect()}
     assert got2 == got and table.latest_version() == v1
+
+
+def test_compact_preserves_contents_and_history(spark, table):
+    for i in range(4):  # four appends -> five data dirs
+        table.append(
+            spark.createDataFrame(
+                [(100 + i, f"a{i}", float(i))], "id bigint, name string, v double"
+            )
+        )
+    pre_version = table.latest_version()
+    pre_rows = _rows(table.snapshot(spark))
+    n_dirs_pre = len(table._read_manifest(pre_version)["dirs"])
+    assert n_dirs_pre >= 5
+    v = table.compact(spark, target_partitions=1, sort_cols=["id"])
+    assert v == pre_version + 1
+    # contents identical, manifest collapsed to one directory
+    assert _rows(table.snapshot(spark)) == pre_rows
+    assert len(table._read_manifest(v)["dirs"]) == 1
+    # time travel to the pre-compaction version still works
+    assert _rows(table.snapshot(spark, pre_version)) == pre_rows
+
+
+def test_change_feed_classifies_insert_update_delete(spark, table):
+    v0 = table.latest_version()
+    # update id=1, insert id=50, delete id=2 (via replace)
+    base = table.snapshot(spark, v0)
+    updated = (
+        base.filter("id <> 2")
+        .withColumn("v", F.when(F.col("id") == 1, 99.0).otherwise(F.col("v")))
+        .unionByName(
+            spark.createDataFrame(
+                [(50, "new", 5.0)], "id bigint, name string, v double"
+            )
+        )
+    )
+    v1 = table.replace(updated)
+    feed = {
+        r["id"]: (r["_change_type"], r["v"])
+        for r in table.change_feed(spark, key="id", from_version=v0, to_version=v1).collect()
+    }
+    assert feed[1] == ("update_postimage", 99.0)
+    assert feed[50] == ("insert", 5.0)
+    assert feed[2][0] == "delete"
+    # unchanged keys are absent
+    assert set(feed) == {1, 2, 50}
