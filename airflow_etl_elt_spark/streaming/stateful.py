@@ -7,6 +7,15 @@ key across ``spark.sql.shuffle.partitions`` tasks; each micro-batch touches
 only the groups present in that batch. Use timeouts (or watermark-scoped
 ``dropDuplicatesWithinWatermark``) to bound state — unbounded keyspaces
 with NoTimeout state grow forever.
+
+API choice: Spark 4's ``transformWithStateInPandas`` (typed value/list/map
+state, timers, TTL) is the successor API and the natural home for these
+operators, but its driver-side runner needs ``google.protobuf``, which
+this environment does not provide (probed: STREAMING_PYTHON_RUNNER
+initialization fails on the protobuf import). ``applyInPandasWithState``
+expresses the same per-key state machines without that dependency, so the
+operators below use it; porting to transformWithState is a mechanical
+handle/valueState rename when the dependency is available.
 """
 
 from __future__ import annotations

@@ -174,3 +174,45 @@ def test_change_feed_classifies_insert_update_delete(spark, table):
     assert feed[2][0] == "delete"
     # unchanged keys are absent
     assert set(feed) == {1, 2, 50}
+
+
+def test_change_feed_differential_random(spark, tmp_path):
+    """Differential check against a plain-Python diff over randomized
+    mutations: every key classified exactly as the reference dict-diff
+    says, across several seeds."""
+    import random
+
+    for seed in (3, 7, 11):
+        rng = random.Random(seed)
+        old = {k: (f"n{k}", float(rng.randrange(10))) for k in range(20)}
+        new = dict(old)
+        for k in rng.sample(sorted(old), 6):
+            new[k] = (new[k][0], new[k][1] + 100.0)  # updates
+        for k in rng.sample(sorted(old), 4):
+            new.pop(k, None)  # deletes (may overlap updates — fine)
+        for k in range(100, 105):
+            new[k] = (f"n{k}", 1.0)  # inserts
+        t = TxnTable(str(tmp_path / f"t{seed}"))
+        t.create(
+            spark.createDataFrame(
+                [(k, *v) for k, v in old.items()], "id bigint, name string, v double"
+            )
+        )
+        t.replace(
+            spark.createDataFrame(
+                [(k, *v) for k, v in new.items()], "id bigint, name string, v double"
+            )
+        )
+        got = {
+            r["id"]: r["_change_type"]
+            for r in t.change_feed(spark, key="id", from_version=0, to_version=1).collect()
+        }
+        want = {}
+        for k in set(old) | set(new):
+            if k not in old:
+                want[k] = "insert"
+            elif k not in new:
+                want[k] = "delete"
+            elif old[k] != new[k]:
+                want[k] = "update_postimage"
+        assert got == want, f"seed {seed}"
