@@ -183,3 +183,43 @@ def test_ngram_split_not_reevaluated_per_element(spark):
     # the per-element trap specifically: no split beneath a lambdafunction
     for frag in plan.split("lambdafunction")[1:]:
         assert "split(" not in frag.split(")")[0]
+
+
+def test_fuse_gate_modes(spark, monkeypatch):
+    """fuse_small_input's two gates: plan-cache mode and size. Prepared
+    mode must return the input UNCHANGED (the distributed 100 TB shape);
+    fresh mode fuses only below the size bound."""
+    from airflow_etl_elt_spark.operators import relational
+    from airflow_etl_elt_spark.sources.readers import read_table
+
+    df = read_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", "1")
+    assert relational.fuse_small_input(df) is df
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", "0")
+    monkeypatch.setattr(relational, "SINGLE_TASK_BYTES", 0)
+    assert relational.fuse_small_input(df) is df
+    monkeypatch.setattr(relational, "SINGLE_TASK_BYTES", 1 << 62)
+    assert "Coalesce 1" in _plan(relational.fuse_small_input(df))
+
+
+def test_window_topk_fresh_fuses_to_single_stage(spark):
+    """Fresh-build mode, small input: the whole top-k plan is one stage —
+    no Exchange anywhere (SinglePartition satisfies the window's
+    distribution; the sort is in-place)."""
+    plan = _plan(QUERIES["window_topk"](spark, SF_SMOKE))
+    assert "Coalesce 1" in plan
+    assert "Exchange" not in plan
+
+
+def test_window_topk_distributed_keeps_window_parallel(spark, monkeypatch):
+    """ADVICE r5 regression: in the DISTRIBUTED shape the bounded-output
+    sort must be a RANGE EXCHANGE — a barrier between the window and the
+    sort — never a narrow coalesce(1) that would fuse the full-input
+    window into a single task."""
+    from airflow_etl_elt_spark.operators import relational
+
+    monkeypatch.setattr(relational, "SINGLE_TASK_BYTES", 0)  # force distributed
+    plan = _plan(QUERIES["window_topk"](spark, SF_SMOKE))
+    assert "Exchange hashpartitioning(o_orderpriority" in plan
+    assert "Exchange rangepartitioning" in plan
+    assert "Coalesce 1" not in plan
