@@ -247,8 +247,17 @@ class TxnTable:
         for _ in range(max_retries):
             base = self.latest_version()
             m = self._read_manifest(base)
+            # No-op only when there is genuinely nothing to gain: one data
+            # directory whose parquet file count is already at/below the
+            # target (a single directory can still hold hundreds of small
+            # files from a wide writer) and no re-sort requested.
             if len(m["dirs"]) <= 1 and sort_cols is None:
-                return base  # nothing to compact
+                only = os.path.join(self.data_dir, m["dirs"][0])
+                n_files = sum(
+                    1 for f in os.listdir(only) if f.endswith(".parquet")
+                )
+                if n_files <= target_partitions:
+                    return base
             current = self.snapshot(spark, base)
             if sort_cols:
                 current = current.repartitionByRange(

@@ -216,3 +216,25 @@ def test_change_feed_differential_random(spark, tmp_path):
             elif old[k] != new[k]:
                 want[k] = "update_postimage"
         assert got == want, f"seed {seed}"
+
+
+def test_compact_collapses_many_small_files_in_one_dir(spark, table):
+    """A single data directory full of small files (a wide writer's
+    output) must still compact; and a table already at the target is a
+    version-preserving no-op."""
+    table.replace(
+        spark.createDataFrame(
+            [(i, "x", float(i)) for i in range(64)],
+            "id bigint, name string, v double",
+        ).repartition(16)
+    )
+    v = table.latest_version()
+    only = os.path.join(table.data_dir, table._read_manifest(v)["dirs"][0])
+    assert sum(f.endswith(".parquet") for f in os.listdir(only)) == 16
+    v2 = table.compact(spark, target_partitions=1)
+    assert v2 == v + 1
+    only2 = os.path.join(table.data_dir, table._read_manifest(v2)["dirs"][0])
+    assert sum(f.endswith(".parquet") for f in os.listdir(only2)) == 1
+    assert len(_rows(table.snapshot(spark))) == 64
+    # already compact: no new version
+    assert table.compact(spark, target_partitions=1) == v2
