@@ -49,10 +49,22 @@ def _batch_token_hashes(texts: "pd.Series") -> list:
     tiny next to token count, so this cuts hash calls ~10-50x vs per-shingle
     hashing). MD5-first-8-bytes keeps hashes deterministic across sessions,
     executors, and Python hash seeds. Returns None for null/empty documents.
+
+    Tokenization is the EXPLICIT class ``WS_RE`` — not ``str.split()``,
+    which also splits on Unicode whitespace (\\u00a0, \\u2003, …) and the
+    \\x1c-\\x1f separators, silently diverging from the DuckDB oracles'
+    RE2 class on any corpus containing them (the same portability family
+    as the r3 ``\\x0B`` advisory, closed here preemptively for the
+    minhash/simhash sketches).
     """
     import hashlib
+    import re
 
-    token_lists = [t.lower().split() if t is not None else None for t in texts]
+    ws = re.compile(WS_RE)
+    token_lists = [
+        [tok for tok in ws.split(t.lower()) if tok] if t is not None else None
+        for t in texts
+    ]
     vocab: dict[str, int] = {}
     for toks in token_lists:
         if toks:
@@ -421,6 +433,11 @@ def ngram_jaccard_verify(
     side). Returns (id_a, id_b, jaccard ≥ min_jaccard).
     """
 
+    import re
+
+    ws = re.compile(WS_RE)  # explicit class, never str.split (see
+    # _batch_token_hashes: Unicode-whitespace portability vs the oracle)
+
     @pandas_udf("double")
     def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
         out = np.zeros(len(ta))
@@ -428,8 +445,8 @@ def ngram_jaccard_verify(
             # NULL text = empty document: jaccard 0, never a crash (the
             # fixtures are regenerated every round; a NULL row must degrade,
             # not kill the verify stage).
-            xt = x.lower().split() if x is not None else []
-            yt = y.lower().split() if y is not None else []
+            xt = [t for t in ws.split(x.lower()) if t] if x is not None else []
+            yt = [t for t in ws.split(y.lower()) if t] if y is not None else []
             gx = {" ".join(xt[j : j + n]) for j in range(max(len(xt) - n + 1, 1))}
             gy = {" ".join(yt[j : j + n]) for j in range(max(len(yt) - n + 1, 1))}
             u = len(gx | gy)

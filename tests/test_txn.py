@@ -238,3 +238,42 @@ def test_compact_collapses_many_small_files_in_one_dir(spark, table):
     assert len(_rows(table.snapshot(spark))) == 64
     # already compact: no new version
     assert table.compact(spark, target_partitions=1) == v2
+
+
+def test_compact_loses_race_and_retries(spark, table, monkeypatch):
+    """A writer committing between compact's snapshot read and its commit
+    costs compact one retry against the FRESH snapshot — the racing
+    writer's rows must appear in the compacted result, never vanish."""
+    for i in range(3):
+        table.append(
+            spark.createDataFrame(
+                [(200 + i, "r", float(i))], "id bigint, name string, v double"
+            )
+        )
+    orig_write = table._write_data
+    raced = {"done": False}
+
+    def racy_write(df):
+        rel = orig_write(df)
+        if not raced["done"]:
+            raced["done"] = True
+            # writer B lands an append AFTER compact computed its snapshot
+            base = table.latest_version()
+            m = table._read_manifest(base)
+            rel_b = orig_write(
+                spark.createDataFrame(
+                    [(999, "race", 9.0)], "id bigint, name string, v double"
+                )
+            )
+            table._commit(
+                base + 1,
+                {"op": "append", "dirs": m["dirs"] + [rel_b], "schema": m["schema"]},
+            )
+        return rel
+
+    monkeypatch.setattr(table, "_write_data", racy_write)
+    pre = set(r["id"] for r in table.snapshot(spark).collect())
+    v = table.compact(spark, target_partitions=1)
+    got = set(r["id"] for r in table.snapshot(spark, v).collect())
+    assert got == pre | {999}
+    assert len(table._read_manifest(v)["dirs"]) == 1
