@@ -509,6 +509,21 @@ def q_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     return text.bigram_lm_score(fan_out(read_table(spark, sf, "documents")))
 
 
+def q_quality_filtered_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus-hygiene composition — the everyday production
+    shape in ONE plan: corpus-trained bigram-LM cross-entropy (quality
+    score) → threshold gate → content-hash deterministic 50% subsample.
+    Every stage is an existing catalog operator; composed they stay one
+    lazy DataFrame (the LM's train-side counts broadcast into the scoring
+    join, the gate and the md5-bucket predicate fold into one projection),
+    and the whole pipeline remains exactly oracle-checkable — the
+    composition property that makes the catalog an engine rather than a
+    list of demos."""
+    scored = text.bigram_lm_score(fan_out(read_table(spark, sf, "documents")))
+    kept = scored.filter(F.col("cross_entropy") <= F.lit(3.4))
+    return relational.deterministic_sample(kept, "doc_id", 50)
+
+
 def q_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
     """Kimball Type-2 SCD history of each user's event_type state: runs of
     unchanged state compress into validity intervals with
@@ -1977,6 +1992,7 @@ QUERIES: dict[str, QueryFn] = {
     "validate_orders": q_validate_orders,
     "zscore_outliers": q_zscore_outliers,
     "bigram_lm_score": q_bigram_lm_score,
+    "quality_filtered_sample": q_quality_filtered_sample,
     "asof_join_tolerance": q_asof_join_tolerance,
     "asof_join_forward": q_asof_join_forward,
     "resample_ffill": q_resample_ffill,
@@ -3509,4 +3525,15 @@ ORACLE_SQL: dict[str, str] = {
 # both expose driver-visible self-check columns: in_exact_top50, dims_match).
 # The sketch keys (approx_quantiles, approx_distinct_users) are NOT here:
 # they hash-check by emitting the exact value plus an approx-within-ε gate.
+# Composed end-to-end key: the bigram-LM oracle wrapped with the quality
+# gate and the shared md5-bucket sampling predicate (the exact SQL twin of
+# relational.deterministic_sample) — oracle composition mirroring the Spark
+# composition.
+ORACLE_SQL["quality_filtered_sample"] = f"""
+    SELECT * FROM ({ORACLE_SQL["bigram_lm_score"]})
+    WHERE cross_entropy <= 3.4
+      AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 100 < 50
+"""
+
 ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLE_SQL))
