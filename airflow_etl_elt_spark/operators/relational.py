@@ -60,7 +60,7 @@ SINGLE_TASK_BYTES = int(
 )
 
 
-def fuse_small_input(df: DataFrame) -> DataFrame:
+def fuse_small_input(df: DataFrame, bound_scale: float = 1.0) -> DataFrame:
     """Single-task regime for FRESH builds of small inputs, keyed off the
     catalog plan cache switch.
 
@@ -84,11 +84,16 @@ def fuse_small_input(df: DataFrame) -> DataFrame:
       removed on execution-only measurements, i.e. tuned for the mode the
       headline doesn't measure; VERDICT r4 next-step 2 reverses that).
 
-    Size gate: Catalyst's optimized-plan estimate < SINGLE_TASK_BYTES
-    (~1-2M numeric rows at the 4 MB default given parquet's ~10x
-    under-report). Above it the plan is returned unchanged in both modes.
-    Callers pass the input ALREADY projected so the gate measures what will
-    actually flow.
+    Size gate: Catalyst's optimized-plan estimate < SINGLE_TASK_BYTES x
+    ``bound_scale`` (~1-2M numeric rows at the 4 MB default given
+    parquet's ~10x under-report). Above it the plan is returned unchanged
+    in both modes. Callers pass the input ALREADY projected so the gate
+    measures what will actually flow; callers whose projection compresses
+    far better than it decodes (all-numeric columns — the estimate is
+    compressed bytes but single-task decode work is ROWS) pass
+    ``bound_scale < 1`` to cross over earlier (hourly_agg at the 10x
+    replica: fused 0.51 s vs distributed 0.42 s at an 11 MB estimate that
+    a text-heavy input of equal work would have crossed long before).
     """
     import os
 
@@ -96,7 +101,7 @@ def fuse_small_input(df: DataFrame) -> DataFrame:
         return df
     from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
 
-    if _plan_size_bytes(df) < SINGLE_TASK_BYTES:
+    if _plan_size_bytes(df) < SINGLE_TASK_BYTES * bound_scale:
         return df.coalesce(1)
     return df
 
