@@ -149,8 +149,9 @@ def _bracket_frame(
             group_col,
             F.element_at("__bracket", 1).cast("double").alias("__lo"),
             F.element_at("__bracket", 2).cast("double").alias("__hi"),
-            ((F.col("__n") + 1) / 2).cast("long").alias("__k1"),
-            (F.col("__n") / 2 + 1).cast("long").alias("__k2"),
+            # integer div, not float /: a double loses exactness past 2^53
+            F.expr("(__n + 1) div 2").alias("__k1"),
+            F.expr("__n div 2 + 1").alias("__k2"),
         )
     )
 
@@ -334,8 +335,8 @@ def grouped_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
             group_col,
             F.element_at("__bracket", 1).cast("double").alias("__lo"),
             F.element_at("__bracket", 2).cast("double").alias("__hi"),
-            ((F.col("__nn") + 1) / 2).cast("long").alias("__k1"),
-            (F.col("__nn") / 2 + 1).cast("long").alias("__k2"),
+            F.expr("(__nn + 1) div 2").alias("__k1"),
+            F.expr("__nn div 2 + 1").alias("__k2"),
         )
     )
     vals = df.filter(F.col(value_col).isNotNull()).select(group_col, value_col)
