@@ -111,7 +111,13 @@ class TxnTable:
         """Commit version 0. Fails if the table already exists."""
         rel = self._write_data(df)
         self._commit(
-            0, {"op": "create", "dirs": [rel], "schema": df.schema.simpleString()}
+            0,
+            {
+                "op": "create",
+                "dirs": [rel],
+                "schema": df.schema.simpleString(),
+                "stats": {rel: self._dir_stats(df.sparkSession, rel)},
+            },
         )
         return 0
 
@@ -122,9 +128,16 @@ class TxnTable:
         m = self._read_manifest(base)
         rel = self._write_data(df)
         v = base + 1
+        stats = dict(m.get("stats", {}))
+        stats[rel] = self._dir_stats(df.sparkSession, rel)
         self._commit(
             v,
-            {"op": "append", "dirs": m["dirs"] + [rel], "schema": m["schema"]},
+            {
+                "op": "append",
+                "dirs": m["dirs"] + [rel],
+                "schema": m["schema"],
+                "stats": stats,
+            },
         )
         return v
 
@@ -134,7 +147,15 @@ class TxnTable:
         m = self._read_manifest(base)
         rel = self._write_data(df)
         v = base + 1
-        self._commit(v, {"op": "replace", "dirs": [rel], "schema": m["schema"]})
+        self._commit(
+            v,
+            {
+                "op": "replace",
+                "dirs": [rel],
+                "schema": m["schema"],
+                "stats": {rel: self._dir_stats(df.sparkSession, rel)},
+            },
+        )
         return v
 
     def merge(
@@ -175,7 +196,12 @@ class TxnTable:
             try:
                 self._commit(
                     base + 1,
-                    {"op": "merge", "dirs": [rel], "schema": m["schema"]},
+                    {
+                        "op": "merge",
+                        "dirs": [rel],
+                        "schema": m["schema"],
+                        "stats": {rel: self._dir_stats(spark, rel)},
+                    },
                 )
                 return base + 1
             except ConcurrentWriteError as exc:
@@ -269,7 +295,12 @@ class TxnTable:
             try:
                 self._commit(
                     base + 1,
-                    {"op": "compact", "dirs": [rel], "schema": m["schema"]},
+                    {
+                        "op": "compact",
+                        "dirs": [rel],
+                        "schema": m["schema"],
+                        "stats": {rel: self._dir_stats(spark, rel)},
+                    },
                 )
                 return base + 1
             except ConcurrentWriteError as exc:
@@ -333,3 +364,98 @@ class TxnTable:
                 "_change_type",
             )
         )
+
+    # ---- data skipping (manifest column stats) ----------------------------
+
+    _STATS_ATOMIC = {
+        "byte", "short", "integer", "long", "float", "double", "decimal",
+        "string", "date", "timestamp", "timestamp_ntz", "boolean",
+    }
+
+    @staticmethod
+    def _json_stat(v):
+        import datetime as _dt
+        import decimal as _dec
+
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        if isinstance(v, _dec.Decimal):
+            return float(v)
+        return v
+
+    def _dir_stats(self, spark: SparkSession, rel: str) -> dict:
+        """Per-directory min/max for every atomic-typed column, read back
+        from the FRESHLY WRITTEN parquet (columnar local scan of one batch)
+        rather than re-executing the possibly-expensive upstream plan —
+        the Delta add-file-stats idea at directory granularity: manifests
+        list directories, so stats ride along at commit-count scale, and a
+        predicate read can skip whole directories without touching their
+        footers."""
+        df = spark.read.parquet(os.path.join(self.data_dir, rel))
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in self._STATS_ATOMIC
+        ]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        row = df.agg(*aggs).first()
+        out = {}
+        for c in cols:
+            mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
+            if mn is None:
+                continue  # all-null column: no skipping possible
+            out[c] = [self._json_stat(mn), self._json_stat(mx)]
+        return out
+
+    def snapshot_where(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Predicate read with DIRECTORY-level data skipping: only data
+        directories whose manifest [min, max] for ``col`` overlaps
+        [lo, hi] are even listed in the scan (directories committed before
+        stats existed are kept — conservative). The exact predicate is
+        re-applied on the surviving rows, so the result equals
+        ``snapshot().filter(...)`` while an append-heavy table (one
+        directory per micro-batch, often time-ordered) reads a fraction of
+        its files. Values compare in stored-stat space: numerics natively,
+        dates/timestamps as ISO strings (pass the same type you stored).
+        """
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        m = self._read_manifest(v)
+        stats = m.get("stats", {})
+        keep = []
+        for rel in m["dirs"]:
+            s = stats.get(rel, {}).get(col)
+            if s is not None:
+                mn, mx = s
+                if lo is not None and mx < self._json_stat(lo):
+                    continue
+                if hi is not None and mn > self._json_stat(hi):
+                    continue
+            keep.append(rel)
+        if keep:
+            df = spark.read.parquet(
+                *[os.path.join(self.data_dir, r) for r in keep]
+            )
+        else:  # every directory pruned: empty frame, correct schema
+            df = spark.read.parquet(
+                os.path.join(self.data_dir, m["dirs"][0])
+            ).filter(F.lit(False))
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        return df.filter(cond)

@@ -277,3 +277,59 @@ def test_compact_loses_race_and_retries(spark, table, monkeypatch):
     got = set(r["id"] for r in table.snapshot(spark, v).collect())
     assert got == pre | {999}
     assert len(table._read_manifest(v)["dirs"]) == 1
+
+
+def test_snapshot_where_skips_directories(spark, table):
+    """Directory-level data skipping: three appends with disjoint id
+    ranges; a range read must scan ONLY the overlapping directory (plan
+    paths assertion) and return exactly snapshot().filter()'s rows; a
+    fully-disjoint predicate returns empty with the right schema."""
+    for lo in (100, 200, 300):
+        table.append(
+            spark.createDataFrame(
+                [(lo + i, "s", float(i)) for i in range(10)],
+                "id bigint, name string, v double",
+            )
+        )
+    pruned = table.snapshot_where(spark, "id", lo=200, hi=209)
+    got = sorted(r["id"] for r in pruned.collect())
+    assert got == list(range(200, 210))
+    # the scan's file index must reference ONLY the matching directory —
+    # the original create dir (ids 1,2) and the 100/300 dirs are skipped
+    import re
+
+    dirs_in_plan = {
+        m.group(1)
+        for f in pruned.inputFiles()
+        if (m := re.search(r"data/([0-9a-f]{32})/", f))
+    }
+    m = table._read_manifest(table.latest_version())
+    overlapping = {
+        rel
+        for rel, st in m["stats"].items()
+        if "id" in st and not (st["id"][1] < 200 or st["id"][0] > 209)
+    }
+    assert dirs_in_plan == overlapping and len(dirs_in_plan) == 1
+    # parity with the unpruned filter
+    full = sorted(
+        r["id"] for r in table.snapshot(spark).filter("id BETWEEN 200 AND 209").collect()
+    )
+    assert got == full
+    # all pruned -> empty, schema intact
+    empty = table.snapshot_where(spark, "id", lo=5000, hi=6000)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "name", "v"]
+
+
+def test_snapshot_where_keeps_statless_dirs(spark, table, tmp_path):
+    """Directories committed by manifests WITHOUT stats (older writers)
+    are conservatively kept, never silently skipped."""
+    m = table._read_manifest(0)
+    m.pop("stats", None)
+    # rewrite manifest 0 without stats (simulating a pre-stats writer)
+    import json
+
+    with open(table._manifest_path(0), "w") as fh:
+        json.dump(m, fh)
+    got = sorted(r["id"] for r in table.snapshot_where(spark, "id", lo=2, hi=2).collect())
+    assert got == [2]
