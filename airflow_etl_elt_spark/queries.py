@@ -524,6 +524,25 @@ def q_quality_filtered_sample(spark: SparkSession, sf: str) -> DataFrame:
     return relational.deterministic_sample(kept, "doc_id", 50)
 
 
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clusters end-to-end: MinHash-LSH candidate pairs →
+    distributed connected components (alternating large-star/small-star,
+    the O(log n)-round MapReduce CC) → (id, component) with component =
+    the cluster's minimum doc id. Exact-oracled as of r5: the minhash
+    oracle generates the identical edge set and a recursive CTE closes it
+    transitively with min-label — fine at ORACLE scale (near-dup candidate
+    graphs are pair-count-sized), while the Spark side is the algorithm
+    that survives 100 TB. Converts connected_components from tested-only
+    to hash-checked."""
+    from airflow_etl_elt_spark.operators._cache import rotate_persist
+
+    pairs = rotate_persist(
+        "dedup_comp_pairs",
+        dedup.minhash_lsh_pairs(read_table(spark, sf, "documents"), threshold=0.4),
+    )
+    return dedup.connected_components(pairs)
+
+
 def q_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
     """Kimball Type-2 SCD history of each user's event_type state: runs of
     unchanged state compress into validity intervals with
@@ -1993,6 +2012,7 @@ QUERIES: dict[str, QueryFn] = {
     "zscore_outliers": q_zscore_outliers,
     "bigram_lm_score": q_bigram_lm_score,
     "quality_filtered_sample": q_quality_filtered_sample,
+    "dedup_components": q_dedup_components,
     "asof_join_tolerance": q_asof_join_tolerance,
     "asof_join_forward": q_asof_join_forward,
     "resample_ffill": q_resample_ffill,
@@ -3534,6 +3554,25 @@ ORACLE_SQL["quality_filtered_sample"] = f"""
     WHERE cross_entropy <= 3.4
       AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
           % 100 < 50
+"""
+
+# Connected components over the SAME minhash edge set: recursive-CTE
+# transitive closure with min-label — exact at oracle scale (the candidate
+# graph is pair-count-sized; the Spark side runs the O(log n) MapReduce
+# algorithm instead).
+ORACLE_SQL["dedup_components"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLE_SQL["dedup_minhash"]}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE r.u <> e.v),
+    comp AS (SELECT u, least(min(v), u) AS component FROM reach GROUP BY u)
+    SELECT u AS id, component FROM comp
 """
 
 ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLE_SQL))
