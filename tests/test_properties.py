@@ -226,3 +226,39 @@ def test_grouped_stats_regime_schemas_identical(spark):
         else:
             os.environ["SPARK_GRAFT_PLAN_CACHE"] = old_env
     assert dt_b == dt_n
+
+
+def test_operators_degrade_on_empty_input(spark):
+    """Empty-input robustness across the operator families: zero rows in,
+    zero rows (or an empty-but-schema-correct frame) out — never a crash.
+    The chart sink's empty guard (ADVICE r5) showed this class of bug
+    hides easily; pin the core operators."""
+    import datetime as dt
+
+    from airflow_etl_elt_spark.operators import aggregates, dedup, timeseries, windows
+    from airflow_etl_elt_spark.operators.asof import asof_join
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    ev = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    li = spark.createDataFrame([], "l_returnflag string, l_extendedprice double")
+
+    assert aggregates.grouped_stats(li, "l_returnflag", "l_extendedprice").count() == 0
+    assert aggregates.grouped_exact_median(li, "l_returnflag", "l_extendedprice").count() == 0
+    assert dedup.exact_dedup(docs).count() == 0
+    assert dedup.minhash_lsh_pairs(docs).count() == 0
+    assert dedup.simhash_near_pairs(docs).count() == 0
+    assert timeseries.sessionize(ev).count() == 0
+    assert timeseries.ewma(ev).count() == 0
+    assert windows.top_k_per_group(
+        spark.createDataFrame([], "g string, x double, id bigint"), "g", "x", "id"
+    ).count() == 0
+    right = spark.createDataFrame([], "user_id bigint, ts timestamp, price double")
+    left = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], "event_id bigint, user_id bigint, ts timestamp"
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                    right_values=["price"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["asof_price"] is None
