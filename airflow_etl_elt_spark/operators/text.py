@@ -427,6 +427,54 @@ def word_entropy(documents: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def _collect_word_types(
+    documents: DataFrame, text_col: str, max_word_types: int
+) -> "tuple[list[list[str]], list[int]]":
+    """The one corpus-scaled pass of BPE training: the frequency-pruned
+    word-type table, collected deterministically (freq desc, word asc)."""
+    rows = (
+        _word_freqs(documents, text_col)
+        .orderBy(F.desc("freq"), F.col("w"))
+        .limit(max_word_types)
+        .collect()
+    )
+    return [list(r["w"]) for r in rows], [int(r["freq"]) for r in rows]
+
+
+def bpe_merges_reference(
+    vocab: "list[list[str]]", freqs: "list[int]", n_merges: int
+) -> "list[tuple[str, str, int]]":
+    """Naive Sennrich-2016 algorithm 1 over an in-memory type table:
+    recount EVERY adjacent pair each iteration, merge the argmax (ties by
+    lexicographic pair — the same rule as the incremental trainer). O(merges
+    x total symbols) — the textbook form the incremental trainer must agree
+    with exactly; used for the driver-visible ``matches_reference_impl``
+    self-check and the differential tests."""
+    from collections import Counter
+
+    vocab = [list(w) for w in vocab]
+    out: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for syms, f in zip(vocab, freqs):
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        out.append((a, b, int(cnt)))
+        for syms in vocab:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                else:
+                    i += 1
+    return out
+
+
 def bpe_train_merges(
     documents: DataFrame,
     n_merges: int = 5,
@@ -456,14 +504,7 @@ def bpe_train_merges(
     """
     from collections import Counter, defaultdict
 
-    rows = (
-        _word_freqs(documents, text_col)
-        .orderBy(F.desc("freq"), F.col("w"))
-        .limit(max_word_types)
-        .collect()
-    )
-    vocab: list[list[str]] = [list(r["w"]) for r in rows]
-    freqs: list[int] = [int(r["freq"]) for r in rows]
+    vocab, freqs = _collect_word_types(documents, text_col, max_word_types)
 
     pair_counts: Counter = Counter()
     where: defaultdict = defaultdict(set)  # pair -> word indexes containing it
