@@ -196,15 +196,25 @@ def stream_asof_enrich(
     each left" needs per-key ordering that Spark's watermarked interval
     joins cannot guarantee without a reorder buffer; the honest shapes are
     this stream-static form or an upstream sessionized materialization.
+
+    Effectively-once: foreachBatch delivers at-least-once on retry, so
+    each batch OVERWRITES its own ``batch_id=<n>`` partition directory
+    instead of appending — a replayed batch rewrites identical content
+    (the standard idempotent-foreachBatch recipe; the sibling sinks get
+    the same property from keyed anti-joins / value-level MERGE).
     """
+    import os as _os
+
     from airflow_etl_elt_spark.operators.asof import asof_join
 
-    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = asof_join(
             batch_df, right, on=on, left_ts=left_ts, right_ts=right_ts,
             right_values=right_values, strict=False,
         )
-        out.write.mode("append").parquet(out_path)
+        out.write.mode("overwrite").parquet(
+            _os.path.join(out_path, f"batch_id={batch_id}")
+        )
 
     (
         stream_df.writeStream.foreachBatch(write_batch)
