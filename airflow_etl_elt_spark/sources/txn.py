@@ -415,21 +415,31 @@ class TxnTable:
     def snapshot_where(
         self,
         spark: SparkSession,
-        col: str,
+        col: str | None = None,
         lo=None,
         hi=None,
         version: int | None = None,
+        ranges: "dict[str, tuple] | None" = None,
     ) -> DataFrame:
         """Predicate read with DIRECTORY-level data skipping: only data
-        directories whose manifest [min, max] for ``col`` overlaps
-        [lo, hi] are even listed in the scan (directories committed before
-        stats existed are kept — conservative). The exact predicate is
-        re-applied on the surviving rows, so the result equals
-        ``snapshot().filter(...)`` while an append-heavy table (one
+        directories whose manifest [min, max] ranges overlap EVERY given
+        predicate are even listed in the scan (directories committed
+        before stats existed are kept — conservative). The exact
+        predicates are re-applied on the surviving rows, so the result
+        equals ``snapshot().filter(...)`` while an append-heavy table (one
         directory per micro-batch, often time-ordered) reads a fraction of
         its files. Values compare in stored-stat space: numerics natively,
         dates/timestamps as ISO strings (pass the same type you stored).
+
+        Single-column form: ``snapshot_where(spark, "id", lo, hi)``.
+        Conjunctive multi-column form: ``snapshot_where(spark,
+        ranges={"ts": (t0, t1), "region": ("a", "f")})`` — each bound may
+        be None for a half-open range; directories are skipped if ANY
+        predicate is disjoint from their stats (AND semantics).
         """
+        if (col is None) == (ranges is None):
+            raise ValueError("pass exactly one of col or ranges")
+        preds = dict(ranges) if ranges is not None else {col: (lo, hi)}
         v = self.latest_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"no committed version at {self.path}")
@@ -437,14 +447,21 @@ class TxnTable:
         stats = m.get("stats", {})
         keep = []
         for rel in m["dirs"]:
-            s = stats.get(rel, {}).get(col)
-            if s is not None:
+            rel_stats = stats.get(rel, {})
+            disjoint = False
+            for c, (clo, chi) in preds.items():
+                s = rel_stats.get(c)
+                if s is None:
+                    continue  # no stats for this column: can't skip on it
                 mn, mx = s
-                if lo is not None and mx < self._json_stat(lo):
-                    continue
-                if hi is not None and mn > self._json_stat(hi):
-                    continue
-            keep.append(rel)
+                if clo is not None and mx < self._json_stat(clo):
+                    disjoint = True
+                    break
+                if chi is not None and mn > self._json_stat(chi):
+                    disjoint = True
+                    break
+            if not disjoint:
+                keep.append(rel)
         if keep:
             df = spark.read.parquet(
                 *[os.path.join(self.data_dir, r) for r in keep]
@@ -454,8 +471,9 @@ class TxnTable:
                 os.path.join(self.data_dir, m["dirs"][0])
             ).filter(F.lit(False))
         cond = F.lit(True)
-        if lo is not None:
-            cond = cond & (F.col(col) >= F.lit(lo))
-        if hi is not None:
-            cond = cond & (F.col(col) <= F.lit(hi))
+        for c, (clo, chi) in preds.items():
+            if clo is not None:
+                cond = cond & (F.col(c) >= F.lit(clo))
+            if chi is not None:
+                cond = cond & (F.col(c) <= F.lit(chi))
         return df.filter(cond)

@@ -333,3 +333,38 @@ def test_snapshot_where_keeps_statless_dirs(spark, table, tmp_path):
         json.dump(m, fh)
     got = sorted(r["id"] for r in table.snapshot_where(spark, "id", lo=2, hi=2).collect())
     assert got == [2]
+
+
+def test_snapshot_where_multi_column_ranges(spark, table):
+    """Conjunctive multi-column skipping: a directory must be skipped when
+    ANY predicate is disjoint from its stats, and the row result equals
+    the equivalent snapshot().filter()."""
+    table.append(
+        spark.createDataFrame(
+            [(100 + i, "g1", float(i)) for i in range(5)],
+            "id bigint, name string, v double",
+        )
+    )
+    table.append(
+        spark.createDataFrame(
+            [(200 + i, "g2", float(50 + i)) for i in range(5)],
+            "id bigint, name string, v double",
+        )
+    )
+    out = table.snapshot_where(
+        spark, ranges={"id": (100, 299), "v": (50.0, None)}
+    )
+    got = sorted(r["id"] for r in out.collect())
+    assert got == [200, 201, 202, 203, 204]
+    import re
+
+    dirs = {
+        m.group(1)
+        for f in out.inputFiles()
+        if (m := re.search(r"data/([0-9a-f]{32})/", f))
+    }
+    assert len(dirs) == 1  # the g1 dir (v<5) and the create dir pruned
+    with pytest.raises(ValueError):
+        table.snapshot_where(spark)
+    with pytest.raises(ValueError):
+        table.snapshot_where(spark, "id", 0, 1, ranges={"v": (0, 1)})
