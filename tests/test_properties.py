@@ -13,6 +13,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from airflow_etl_elt_spark.operators.asof import asof_join
 from airflow_etl_elt_spark.operators.dedup import dedup_keep_first
 from airflow_etl_elt_spark.operators.relational import sample_fraction
 from airflow_etl_elt_spark.sources.sinks import insert_ignore_by_name
@@ -262,3 +263,61 @@ def test_operators_degrade_on_empty_input(spark):
                     right_values=["price"])
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["asof_price"] is None
+
+
+_asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # key
+        st.integers(min_value=0, max_value=5000),       # ts seconds
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(left_rows=_asof_events, right_rows=_asof_events,
+       direction=st.sampled_from(["backward", "forward"]),
+       tol=st.sampled_from([None, 600.0]))
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows,
+                                             direction, tol):
+    """Differential vs pandas.merge_asof over randomized inputs, both
+    directions, with and without tolerance (allow_exact_matches=True ==
+    strict=False). Right-side (key, ts) pairs are deduplicated so both
+    engines' tie rules coincide."""
+    import datetime as dt
+
+    import pandas as pd
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    left = [(i, k, ts(s)) for i, (k, s) in enumerate(left_rows)]
+    seen = set()
+    right = []
+    for k, s in right_rows:
+        if (k, s) not in seen:
+            seen.add((k, s))
+            right.append((k, ts(s), float(k * 10000 + s)))
+    ldf = spark.createDataFrame(left, "eid int, k int, ts timestamp")
+    rdf = spark.createDataFrame(right, "k int, ts timestamp, val double")
+    got = {
+        r["eid"]: r["asof_val"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+            right_values=["val"], strict=False,
+            tolerance_seconds=tol, direction=direction,
+        ).collect()
+    }
+    lp = pd.DataFrame(left, columns=["eid", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["k", "ts", "val"]).sort_values("ts")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=direction,
+        allow_exact_matches=True,
+        tolerance=(pd.Timedelta(seconds=tol) if tol is not None else None),
+    )
+    want = {
+        int(r.eid): (None if pd.isna(r.val) else float(r.val))
+        for r in merged.itertuples()
+    }
+    assert got == want
