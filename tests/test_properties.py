@@ -321,3 +321,35 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows,
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@given(series=st.lists(
+    st.tuples(st.integers(min_value=1, max_value=2),
+              st.floats(min_value=-100, max_value=100,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_ewma_matches_pandas_ewm(spark, series):
+    """Differential vs pandas ewm(alpha, adjust=True).mean(): the batch
+    operator is the 50-step-truncated form of exactly that, so on series
+    up to 30 points the two agree to the documented (1-alpha)^window
+    bound (~2e-8 of range — here indistinguishable from exact)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from airflow_etl_elt_spark.operators.timeseries import ewma
+
+    rows = [
+        (i, k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), v)
+        for i, (k, v) in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    got = {r["event_id"]: r["ewma"] for r in ewma(df).collect()}
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    for _, sub in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        want = sub["value"].ewm(alpha=0.3, adjust=True).mean()
+        for eid, w in zip(sub["event_id"], want):
+            assert abs(got[eid] - float(w)) < 1e-9, eid
