@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from airflow_etl_elt_spark.operators._cache import rotate_persist
-from airflow_etl_elt_spark.operators.text import WS_RE
+from airflow_etl_elt_spark.operators.text import WS_RE, ws_tokens
 from pyspark.sql.functions import pandas_udf
 
 from airflow_etl_elt_spark.sources.readers import fan_out
@@ -158,7 +158,7 @@ def decontaminate(
         # wraps sequence(), and each gram is built once per output row from
         # the bound token column.
         tokd = df.select(
-            F.col(id_col), F.split(F.trim(F.col(text_col)), WS_RE).alias("__toks")
+            F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
         ).filter(F.size("__toks") >= n)
         idx = tokd.select(
             id_col,
@@ -249,9 +249,10 @@ def minhash_signatures(
     # corpus on one worker: measured 0.72 s of the old 0.92 s stage time at
     # sf0.1) and again 32-way above. Same optimizer-trap family as the
     # InferFiltersFromGenerate pushdown documented in SCALING.md.
-    nonempty = documents.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    )
+    # "has at least one token" in the portable ws_tokens contract — a
+    # trim-based emptiness test diverges between Java and DuckDB on
+    # unicode whitespace (see text.ws_tokens)
+    nonempty = documents.filter(F.size(ws_tokens(F.col(text_col))) > 0)
     return fan_out(nonempty.select(F.col(id_col).alias("id"), F.col(text_col))).select(
         "id", sig_udf(text_col).alias("sig")
     )
@@ -578,11 +579,15 @@ def _token_segments(
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     tokd = documents.select(
-        id_col, *extra_cols, F.split(F.trim(text), WS_RE).alias("__toks")
+        id_col, *extra_cols, ws_tokens(text).alias("__toks")
     )
-    # ceil(size/window) in exact integer form; split() yields >= 1 token
-    # (empty text becomes ['']), so every document has >= 1 segment.
-    n_seg = ((F.size("__toks") + F.lit(window - 1)) / F.lit(window)).cast("int")
+    # ceil(size/window) in exact integer form; greatest(1, ...) keeps the
+    # every-document-has->=1-segment contract for token-less documents
+    # (their single segment digests '' with seg_len 0)
+    n_seg = F.greatest(
+        F.lit(1),
+        ((F.size("__toks") + F.lit(window - 1)) / F.lit(window)).cast("int"),
+    )
     idx = tokd.select(
         id_col,
         *extra_cols,

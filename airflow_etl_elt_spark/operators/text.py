@@ -23,6 +23,43 @@ from pyspark.sql import functions as F
 # value-hash oracle. The explicit class pins identical semantics in both.
 WS_RE = r"[ \t\n\x0B\f\r]+"
 
+
+def ws_tokens(col):
+    """THE portable tokenization: split on the explicit class, drop empty
+    tokens — with NO trim anywhere. Round-5 adversarial-fixture finding:
+    Java's ``trim`` strips every char ≤ U+0020 while DuckDB's strips
+    UNICODE whitespace (\\u00a0, \\u2003, …), so any trim-then-split
+    pipeline diverges between the engines on documents with exotic
+    leading/trailing whitespace. Dropping empty tokens after the class
+    split makes trim semantics irrelevant: leading/trailing class-runs
+    produce '' tokens that are removed, and non-class characters (unicode
+    spaces, control separators) are token CHARACTERS on both engines.
+    ``array_remove`` (not a higher-order filter) keeps the expression
+    codegen'd. DuckDB twin:
+    ``list_filter(string_split_regex(X, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')``.
+    """
+    return F.array_remove(F.split(col, WS_RE), "")
+
+
+def ws_strip(col):
+    """Strip leading/trailing runs of the WS_RE class — the engine-portable
+    replacement for ``trim`` where a trimmed STRING (not tokens) is needed
+    (character counts, fingerprint normalization). Same class on both
+    engines via regexp_replace."""
+    return F.regexp_replace(
+        F.regexp_replace(col, "^" + WS_RE, ""), WS_RE + "$", ""
+    )
+
+
+#: DuckDB twins of ws_tokens/ws_strip, for splicing into oracle SQL.
+WS_TOKENS_SQL = (
+    "list_filter(string_split_regex({x}, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
+)
+WS_STRIP_SQL = (
+    "regexp_replace(regexp_replace({x}, '^[ \\t\\n\\x0B\\f\\r]+', ''),"
+    " '[ \\t\\n\\x0B\\f\\r]+$', '')"
+)
+
 # Tiny per-language marker-word sets for the n-gram/stopword heuristic.
 # Public-knowledge closed-class words; the heuristic is argmax of hit counts.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -37,15 +74,13 @@ LANG_MARKERS: dict[str, list[str]] = {
 def token_count(documents: DataFrame) -> DataFrame:
     """Whitespace token count per document (0 for blank text).
 
-    ``split`` + ``size`` — codegen'd, no shuffle, scales linearly.
+    ``split`` + ``array_remove`` + ``size`` — codegen'd, no shuffle,
+    scales linearly; the no-trim ``ws_tokens`` contract makes the count
+    identical across engines for ANY whitespace shape.
     """
-    trimmed = F.trim(F.col("text"))
     return documents.select(
         "doc_id",
-        F.when(F.length(trimmed) == 0, F.lit(0))
-        .otherwise(F.size(F.split(trimmed, WS_RE)))
-        .cast("bigint")
-        .alias("n_tokens"),
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
 
 
@@ -53,13 +88,16 @@ def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality features: length, token stats, punctuation ratio,
     uppercase ratio, stopword ratio — the standard pre-training quality
     filters (cf. C4/Gopher-style rules), all as built-in expressions."""
-    trimmed = F.trim(F.col("text"))
-    n_chars = F.length(trimmed)
-    n_tokens = F.when(n_chars == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, WS_RE)))
-    n_punct = F.regexp_count(trimmed, F.lit(r"[.,;:!?]"))
-    n_upper = F.regexp_count(trimmed, F.lit(r"[A-Z]"))
+    # ws_strip, not trim: the measured-chars semantics must agree with the
+    # oracle on unicode whitespace (see ws_tokens). The pattern counts run
+    # on the RAW text — whitespace contains none of the counted chars, so
+    # trimming cannot change them.
+    n_chars = F.length(ws_strip(F.col("text")))
+    n_tokens = F.size(ws_tokens(F.col("text")))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[.,;:!?]"))
+    n_upper = F.regexp_count(F.col("text"), F.lit(r"[A-Z]"))
     stop_pattern = r"\b(" + "|".join(LANG_MARKERS["en"]) + r")\b"
-    n_stop = F.regexp_count(trimmed, F.lit(stop_pattern))
+    n_stop = F.regexp_count(F.col("text"), F.lit(stop_pattern))
     safe_tokens = F.when(n_tokens == 0, F.lit(1)).otherwise(n_tokens)
     safe_chars = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars)
     return documents.select(
@@ -103,10 +141,18 @@ def lang_id(documents: DataFrame) -> DataFrame:
         for i, lang in enumerate(langs)
     ]
     best = F.greatest(*struct_cols)
+    # NULL text -> NULL prediction (all hit counts are null exactly then);
+    # without the guard the struct-argmax tie-break would "predict" the
+    # first language for null documents while the SQL CASE chain falls
+    # through to the last — an engine-divergent answer to a meaningless
+    # question (adversarial-fixture finding, r5)
+    null_text = F.col(f"hits_{langs[0]}").isNull()
     return scored.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        best["l"].alias("predicted_lang"),
+        F.when(null_text, F.lit(None).cast("string"))
+        .otherwise(best["l"])
+        .alias("predicted_lang"),
         best["c"].cast("bigint").alias("marker_hits"),
     )
 
@@ -146,7 +192,7 @@ def with_word_ngrams(
     # greatest(0, len(NULL)-k) collapses NULL to an empty gram list, and a
     # NULL row in a regenerated fixture must not flip the driver hash.
     text = F.coalesce(F.col(text_col), F.lit(""))
-    tokd = df.withColumn("__toks", F.split(F.trim(text), WS_RE))
+    tokd = df.withColumn("__toks", ws_tokens(text))
     return tokd.withColumn(out_col, _ngrams_of(F.col("__toks"), n)).drop("__toks")
 
 
@@ -173,7 +219,7 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     text = F.coalesce(F.col(text_col), F.lit(""))
-    tokd = documents.withColumn("__toks", F.split(F.trim(text), WS_RE))
+    tokd = documents.withColumn("__toks", ws_tokens(text))
     # n_chunks = 1 + max(0, ceil((size - chunk) / stride)), integer form
     n_extra = F.greatest(
         F.lit(0),
@@ -223,7 +269,10 @@ def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
 # runs), restricted to ASCII classes so Java regex (Spark) and RE2 (DuckDB
 # oracle) agree on every boundary. Public-knowledge pattern family
 # (Radford et al. 2019 released the original).
-BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# \s spelled as the explicit class: Java's \s includes \x0B, RE2's does
+# not — the same divergence WS_RE exists to avoid (a \x0B in a document
+# produced one extra token on the oracle side; adversarial finding, r5)
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\x0B\f\rA-Za-z0-9]+"
 
 
 def token_count_bpe(documents: DataFrame) -> DataFrame:
@@ -252,7 +301,7 @@ def tfidf_top_terms(documents: DataFrame, k: int = 1) -> DataFrame:
 
     tokens = documents.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), WS_RE)).alias("term"),
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"),
     ).filter(F.col("term") != "")
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -282,9 +331,9 @@ def rolling_fingerprint(documents: DataFrame) -> DataFrame:
     < 2^31 keeps every intermediate under 2^36, ANSI-overflow-safe.
     """
     p = (1 << 31) - 1
-    tokens = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), WS_RE), lambda t: t != ""
-    )
+    # coalesce: a NULL document fingerprints as the seed 0 (same as empty)
+    # on both engines, instead of a NULL that depends on null-propagation
+    tokens = ws_tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
     token_hashes = F.transform(
         tokens,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % p,
@@ -304,7 +353,7 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     instead of full documents. md5 here is a content hash, not a security
     primitive.
     """
-    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), WS_RE, " "))
+    normalized = F.lower(F.regexp_replace(ws_strip(F.col("text")), WS_RE, " "))
     return documents.select(
         "doc_id",
         F.md5(normalized.cast("binary")).alias("fp"),
@@ -318,7 +367,7 @@ def _word_freqs(documents: DataFrame, text_col: str) -> DataFrame:
         documents.select(
             F.explode(
                 F.filter(
-                    F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), WS_RE),
+                    ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
                     lambda t: t != "",
                 )
             ).alias("w")
@@ -361,7 +410,7 @@ def bigram_lm_score(
     toks = documents.select(
         F.col(id_col),
         F.split(
-            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), WS_RE
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS_RE
         ).alias("__t"),
     ).select(
         id_col, F.filter(F.col("__t"), lambda t: t != "").alias("__t")
@@ -412,7 +461,7 @@ def word_entropy(documents: DataFrame, text_col: str = "text", id_col: str = "do
         F.col(id_col),
         F.explode(
             F.filter(
-                F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), WS_RE),
+                ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
                 lambda t: t != "",
             )
         ).alias("__w"),

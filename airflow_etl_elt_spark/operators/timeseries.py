@@ -103,7 +103,9 @@ def extract_props_key(events: DataFrame, key: str = "k") -> DataFrame:
     """
     return events.select(
         "event_id",
-        F.get_json_object("props", f"$.{key}").cast("int").alias("props_k"),
+        # try_cast: a JSON value that is not a scalar int (arrays,
+        # strings) must yield NULL, not an ANSI cast error
+        F.get_json_object("props", f"$.{key}").try_cast("int").alias("props_k"),
     )
 
 

@@ -146,7 +146,9 @@ def pack_sequences(
             if len(pdf) and pid is None:
                 pid = int(pdf["__pid"].iloc[0])
             for doc_id, t in zip(pdf["doc_id"], pdf["__t"]):
-                t = int(t)
+                # null token counts (null-text documents) pack as 0 tokens
+                # rather than crashing int(NaN)
+                t = 0 if pd.isna(t) else int(t)
                 if cur_ids and cur_tok + t > max_tokens:
                     flush()
                 cur_ids.append(int(doc_id))

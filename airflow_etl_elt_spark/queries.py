@@ -610,7 +610,9 @@ def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     derives. Truncation makes it EXACT in both engines (bounded powers, no
     recursion) while staying within (1-α)^50 ≈ 2e-8·range of the infinite
     recursion. Output keys on event_id; exactly oracle-checkable."""
-    ev = read_table(spark, sf, "events")
+    # null values filtered per the operator's documented precondition
+    # (mirrored in the oracle's WHERE)
+    ev = read_table(spark, sf, "events").filter(F.col("value").isNotNull())
     # round(4) in BOTH engines: the oracle's self-join sums weight terms in
     # a different association order than the JVM fold (~1e-12 abs noise)
     return timeseries.ewma(ev).select(
@@ -848,7 +850,7 @@ def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     token asc). Explode + two-phase agg; the sort is on the tiny agg."""
     docs = fan_out(read_table(spark, sf, "documents"))
     tokens = docs.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), text.WS_RE)).alias("token")
+        F.explode(text.ws_tokens(F.lower(F.col("text")))).alias("token")
     ).filter(F.col("token") != "")
     return (
         tokens.groupBy("token")
@@ -961,7 +963,8 @@ def q_null_handling(spark: SparkSession, sf: str) -> DataFrame:
     """NULL-handling suite over the nullable JSON field: coalesce, nullif,
     null-aware counts."""
     ev = read_table(spark, sf, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast: non-scalar JSON values must be NULL, not an ANSI error
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return ev.groupBy("event_type").agg(
         F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
         F.count(k).alias("n_nonnull"),
@@ -2275,12 +2278,16 @@ def _minhash_oracle() -> str:
     stages = "\n        ".join(s + "," for s in acc_stages)
     return f"""
         WITH toks AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(lower(trim(text)),
-                                                '[ \\t\\n\\x0B\\f\\r]+'),
-                             t -> t <> '') AS tl
-          FROM documents
-          WHERE text IS NOT NULL AND trim(text) <> ''),
+          -- token-based emptiness (len(tl) > 0), matching the Spark side's
+          -- ws_tokens filter: trim-based tests diverge on unicode whitespace
+          SELECT doc_id, tl FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                                                  '[ \\t\\n\\x0B\\f\\r]+'),
+                               t -> t <> '') AS tl
+            FROM documents
+            WHERE text IS NOT NULL)
+          WHERE len(tl) > 0),
         hashes AS (
           SELECT doc_id, list_transform(tl, tok -> {th}) AS hl FROM toks),
         expanded AS (
@@ -2328,7 +2335,7 @@ def _lang_id_oracle() -> str:
     )
     # argmax with ties preferring earlier language (same rule as the Spark
     # greatest-of-structs trick in operators/text.py)
-    cases = []
+    cases = [f"WHEN hits_{langs[0]} IS NULL THEN NULL"]
     for i, lang in enumerate(langs):
         conds = [f"hits_{lang} >= hits_{other}" for other in langs[i + 1 :]]
         cond = " AND ".join(conds) if conds else "TRUE"
@@ -2477,7 +2484,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "json_extract": """
-        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS props_k
+        SELECT event_id, CASE WHEN json_valid(props) THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS props_k
         FROM events ORDER BY event_id
     """,
     "sessionize": """
@@ -2530,22 +2537,27 @@ ORACLE_SQL: dict[str, str] = {
     # text
     "token_count": r"""
         SELECT doc_id,
-               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                         ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS BIGINT)
-                 AS n_tokens
+               CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tokens
         FROM documents ORDER BY doc_id
     """,
     "text_quality": r"""
         WITH base AS (
-          SELECT doc_id, trim(text) AS t FROM documents),
+          -- class-strip (not trim: DuckDB trim eats UNICODE whitespace,
+          -- Java trim does not) for the measured-chars semantics; pattern
+          -- counts run on the raw text
+          SELECT doc_id, text,
+                 regexp_replace(regexp_replace(text, '^[ \t\n\x0B\f\r]+', ''),
+                                '[ \t\n\x0B\f\r]+$', '') AS t
+          FROM documents),
         m AS (
           SELECT doc_id,
                  length(t) AS n_chars_measured,
-                 CASE WHEN length(t) = 0 THEN 0
-                      ELSE len(string_split_regex(t, '[ \t\n\x0B\f\r]+')) END AS n_tokens,
-                 length(t) - length(regexp_replace(t, '[.,;:!?]', '', 'g')) AS n_punct,
-                 length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')) AS n_upper,
-                 len(regexp_extract_all(t, '\b(the|and|of|to|in|is)\b', 0)) AS n_stop
+                 len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                                 x -> x <> '')) AS n_tokens,
+                 length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+                 length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                 len(regexp_extract_all(text, '\b(the|and|of|to|in|is)\b', 0)) AS n_stop
           FROM base)
         SELECT doc_id,
                CAST(n_chars_measured AS BIGINT) AS n_chars_measured,
@@ -2656,13 +2668,13 @@ ORACLE_SQL: dict[str, str] = {
     "token_count_bpe": r"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text,
-                 $$'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+$$, 0)) AS BIGINT)
+                 $$'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\x0B\f\rA-Za-z0-9]+$$, 0)) AS BIGINT)
                  AS n_bpe_tokens
         FROM documents
     """,
     "top_tokens": r"""
         SELECT token, count(*) AS cnt FROM (
-          SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS token
+          SELECT unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS token
           FROM documents)
         WHERE token <> ''
         GROUP BY token ORDER BY cnt DESC, token LIMIT 20
@@ -2670,7 +2682,7 @@ ORACLE_SQL: dict[str, str] = {
     # tf-idf / outer joins / cube / ranks / scalar suites
     "tfidf_top_terms": r"""
         WITH tokens AS (
-          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term
+          SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS term
           FROM documents),
         tf AS (
           SELECT doc_id, term, count(*) AS tf FROM tokens WHERE term <> ''
@@ -2739,10 +2751,10 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "null_handling": """
         SELECT event_type,
-               CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL
+               CAST(sum(CASE WHEN (CASE WHEN json_valid(props) THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END) IS NULL
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-               count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_nonnull,
-               CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER), 0)) AS BIGINT) AS sum_k,
+               count((CASE WHEN json_valid(props) THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END)) AS n_nonnull,
+               CAST(sum(coalesce((CASE WHEN json_valid(props) THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END), 0)) AS BIGINT) AS sum_k,
                count(nullif(event_type, 'error')) AS n_not_error
         FROM events GROUP BY event_type
     """,
@@ -3059,13 +3071,13 @@ ORACLE_SQL: dict[str, str] = {
     # space-joined window; first occurrence by (doc_id, seg_idx) wins
     "segment_dedup": r"""
         WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0B\f\r]+') AS t
+          SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
           FROM documents),
         seg AS (
           SELECT doc_id, j AS seg_idx,
-                 md5(array_to_string(t[(j*10+1):(j*10+10)], ' ')) AS dig,
-                 len(t[(j*10+1):(j*10+10)]) AS seg_len
-          FROM toks, unnest(range((len(t)+9)//10)) AS u(j)),
+                 md5(coalesce(array_to_string(t[(j*10+1):(j*10+10)], ' '), '')) AS dig,
+                 coalesce(len(t[(j*10+1):(j*10+10)]), 0) AS seg_len
+          FROM toks, unnest(range(greatest(1, (len(t)+9)//10))) AS u(j)),
         ranked AS (
           SELECT doc_id, seg_len,
                  row_number() OVER (PARTITION BY dig ORDER BY doc_id, seg_idx) AS rn
@@ -3079,12 +3091,12 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "boilerplate_segments": r"""
         WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0B\f\r]+') AS t
+          SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
           FROM documents),
         seg AS (
           SELECT doc_id, j AS seg_idx,
-                 md5(array_to_string(t[(j*10+1):(j*10+10)], ' ')) AS dig
-          FROM toks, unnest(range((len(t)+9)//10)) AS u(j)),
+                 md5(coalesce(array_to_string(t[(j*10+1):(j*10+10)], ' '), '')) AS dig
+          FROM toks, unnest(range(greatest(1, (len(t)+9)//10))) AS u(j)),
         freq AS (
           SELECT dig, count(DISTINCT doc_id) AS ndocs FROM seg GROUP BY dig)
         SELECT s.doc_id,
@@ -3155,7 +3167,7 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard": r"""
         WITH toks AS (
           SELECT doc_id,
-                 unnest(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+                 unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                     t -> t <> '')) AS tok
           FROM documents),
         h AS (
@@ -3192,9 +3204,9 @@ ORACLE_SQL: dict[str, str] = {
         grams AS (
           SELECT doc_id,
                  list_distinct(list_transform(generate_series(1, greatest(1, len(t2) - 2)),
-                                              i -> array_to_string(t2[i : i + 2], ' '))) AS g
+                                              i -> coalesce(array_to_string(t2[i : i + 2], ' '), ''))) AS g
           FROM (SELECT doc_id,
-                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '[ \t\n\x0B\f\r]+'),
+                       list_filter(string_split_regex(lower(coalesce(text, '')), '[ \t\n\x0B\f\r]+'),
                                    t -> t <> '') AS t2
                 FROM documents))
         SELECT p.id_a, p.id_b,
@@ -3213,7 +3225,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": r"""
         WITH toks AS (
           SELECT doc_id,
-                 unnest(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+                 unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                     t -> t <> '')) AS tok
           FROM documents),
         h AS (
@@ -3303,7 +3315,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "chunk_documents": r"""
         WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0B\f\r]+') AS t
+          SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
           FROM documents),
         c AS (
           SELECT doc_id,
@@ -3313,13 +3325,13 @@ ORACLE_SQL: dict[str, str] = {
           FROM toks)
         SELECT doc_id,
                CAST(j AS INT) AS chunk_idx,
-               array_to_string(t[j*48 + 1 : j*48 + 64], ' ') AS chunk_text,
-               CAST(len(t[j*48 + 1 : j*48 + 64]) AS BIGINT) AS chunk_len
+               coalesce(array_to_string(t[j*48 + 1 : j*48 + 64], ' '), '') AS chunk_text,
+               CAST(coalesce(len(t[j*48 + 1 : j*48 + 64]), 0) AS BIGINT) AS chunk_len
         FROM c
     """,
     "repetition_score": r"""
         WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t FROM documents),
         g AS (
           SELECT doc_id,
                  list_transform(generate_series(1, greatest(0, len(t) - 2)),
@@ -3337,7 +3349,7 @@ ORACLE_SQL: dict[str, str] = {
     # surviving set absent a 64-bit collision (documented in decontaminate)
     "decontaminate": r"""
         WITH toks AS (
-          SELECT doc_id, source, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+          SELECT doc_id, source, list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
           FROM documents),
         g AS (
           SELECT doc_id, source,
@@ -3373,7 +3385,7 @@ ORACLE_SQL: dict[str, str] = {
           list_reduce(
             list_prepend(CAST(0 AS BIGINT),
               list_transform(
-                list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), t -> t <> ''),
+                list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), t -> t <> ''),
                 t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
             (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
         FROM documents
@@ -3388,7 +3400,11 @@ ORACLE_SQL: dict[str, str] = {
         WHERE cosine >= 0.4
     """,
     "doc_fingerprint": r"""
-        SELECT doc_id, md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
+        SELECT doc_id,
+               md5(lower(regexp_replace(
+                 regexp_replace(regexp_replace(text, '^[ \t\n\x0B\f\r]+', ''),
+                                '[ \t\n\x0B\f\r]+$', ''),
+                 '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
         FROM documents ORDER BY doc_id
     """,
     # dedup
@@ -3416,7 +3432,7 @@ ORACLE_SQL: dict[str, str] = {
         WITH words AS (
           SELECT doc_id, w
           FROM (SELECT doc_id,
-                       unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+                       unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS w
                 FROM documents)
           WHERE w <> ''),
         wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2)
@@ -3428,7 +3444,7 @@ ORACLE_SQL: dict[str, str] = {
     "bigram_lm_score": """
         WITH toks AS (
           SELECT doc_id,
-                 list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+                 list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                              x -> x <> '') AS t
           FROM documents),
         grams AS (
@@ -3508,9 +3524,12 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "ewma": """
         WITH ordered AS (
+          -- null values filtered on BOTH sides: the operator's documented
+          -- precondition (collect_list drops nulls, which would shift
+          -- frame ages and break the closed-form denominator)
           SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-          FROM events),
+          FROM events WHERE value IS NOT NULL),
         joined AS (
           SELECT t.event_id,
                  sum(s.x * pow(0.7, t.rn - s.rn)) AS swx,

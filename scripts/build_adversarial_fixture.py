@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Build an ADVERSARIAL fixture dir for oracle-divergence fuzzing.
+
+The driver regenerates the parquet fixtures every round, so the real
+correctness risk is a Spark/DuckDB divergence on data shapes the current
+fixtures don't contain. This script synthesizes a fixture whose documents
+and events exercise exactly those shapes — null/empty/whitespace-only text
+(ASCII and UNICODE whitespace), control separators, emoji, NUL bytes, one
+giant token, exact and near duplicate texts, malformed and non-scalar JSON
+props, null event values, duplicate timestamps — while reusing the real
+sf0.001 TPC-H tables unchanged.
+
+Usage:  python scripts/build_adversarial_fixture.py [OUT_DIR]
+then:   python scripts/sweep_oracle.py OUT_DIR
+
+Round-5 findings from this fuzz (all fixed + regression-swept):
+- DuckDB trim() strips UNICODE whitespace, Java trim() only <= U+0020 →
+  every trim-then-split tokenization diverged; replaced repo-wide with the
+  no-trim ws_tokens contract (split on the explicit class, drop '').
+- Java \\s includes \\x0B, RE2's does not — inside BPE_ISH_PATTERN's
+  negated class this produced an extra token per vertical tab.
+- DuckDB list slicing/array_to_string on empty lists yields NULL (Spark:
+  ''/0) — coalesced in the segment/chunk/jaccard oracles.
+- DuckDB json_extract_string ERRORS on malformed JSON where Spark's
+  get_json_object returns NULL → json_valid guards + TRY_CAST/try_cast.
+- Null-text lang-ID "predictions" were engine-dependent tie-break
+  artifacts → NULL on both engines.
+- ewma over null values shifted window frames (collect_list drops nulls)
+  → the documented filter-first precondition is now applied in the
+  catalog key AND its oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import sys
+
+
+def main() -> None:
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_adv"
+    os.makedirs(dst, exist_ok=True)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "embeddings",
+    ]:
+        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    con = duckdb.connect()
+    texts = [
+        (0, None, "en", "web", 0),
+        (1, "", "en", "web", 0),
+        (2, "   ", "en", "web", 3),
+        (3, "  ", "en", "web", 2),  # unicode WS only
+        (4, "hello world hello world", "en", "web", 23),
+        (5, "tab\tsep\nnewline\x0bvtab\x0cff\rcr end", "en", "web", 30),
+        (6, "a\x1cb\x1dc\x1ed\x1fe", "en", "web", 9),  # info separators
+        (7, "café CAFÉ Über über", "fr", "web", 20),
+        (8, "😀 emoji 😀 emoji test", "en", "web", 20),
+        (9, "x" * 5000, "en", "web", 5000),  # one giant token
+        (10, "tok", "en", "web", 3),
+        (11, "the quick brown fox jumps over the lazy dog " * 8, "en", "web", 352),
+        (12, "the quick brown fox jumps over the lazy dog " * 8, "en", "books", 352),
+        (13, "the quick brown fox jumps over the lazy dog extra " * 8, "en", "web", 400),
+        (14, "zero\0byte inside", "en", "web", 16),
+        (15, "ünïcödé tökens ünïcödé tökens ünïcödé", "de", "web", 37),
+        (16, "Trailing spaces   ", "en", "web", 18),
+        (17, "UPPER lower MiXeD UPPER lower", "en", "web", 29),
+        (18, "1 2 3 4 5 6 7 8 9 10 11 12", "en", "web", 26),
+        (19, "word " * 300, "en", "web", 1500),
+    ]
+    con.sql(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", texts)
+    con.sql(f"COPY d TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    for u in (1, 2):
+        for s, v, p in [
+            (0, 1.0, '{"k":1}'),
+            (0, 2.0, None),
+            (1800, None, "{}"),       # null value
+            (1800, 3.0, '{"k":2}'),
+            (1801, 4.0, "not json"),  # malformed props
+            (7200, 5.0, '{"k":[1,2]}'),  # non-scalar k
+            (7200, 5.0, '{"k":3}'),
+        ]:
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(seconds=s, microseconds=eid * 7),
+                    u,
+                    "click" if eid % 2 else "view",
+                    v,
+                    p,
+                )
+            )
+            eid += 1
+    con.sql(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", rows)
+    con.sql(f"COPY e TO '{dst}/events.parquet' (FORMAT PARQUET)")
+    print(f"adversarial fixture at {dst}")
+
+
+if __name__ == "__main__":
+    main()
