@@ -46,11 +46,23 @@ def main() -> None:
     os.makedirs(dst, exist_ok=True)
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "embeddings",
+        "lineitem",
     ]:
         shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
 
     con = duckdb.connect()
+    # embeddings: the real vectors plus a ZERO vector (cosine-of-zero
+    # convention) and a constant vector (perfect-similarity ties) — both
+    # verified divergence-free across engines
+    con.sql(f"CREATE TABLE emb AS SELECT * FROM '{src}/embeddings.parquet'")
+    dim = con.sql("SELECT len(embedding) FROM emb LIMIT 1").fetchone()[0]
+    con.sql(
+        f"INSERT INTO emb VALUES (900001, CAST([0.0 for x in range({dim})] AS FLOAT[]), 0)"
+    )
+    con.sql(
+        f"INSERT INTO emb VALUES (900002, CAST([1.0 for x in range({dim})] AS FLOAT[]), 1)"
+    )
+    con.sql(f"COPY emb TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
     texts = [
         (0, None, "en", "web", 0),
         (1, "", "en", "web", 0),
