@@ -238,15 +238,28 @@ def q_window_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_timed(spark: SparkSession, sf: str) -> DataFrame:
+    """The event-TIME view of the events table: rows with a NULL timestamp
+    are unprocessable by time-ordered operators (the same contract a
+    streaming watermark enforces — an event with no event time cannot be
+    ordered, windowed, or sessionized) and are dropped here, identically
+    in the matching oracles (WHERE ts IS NOT NULL). Null-ordering defaults
+    also DIFFER between engines (Spark windows: NULLS FIRST; DuckDB:
+    NULLS LAST), so without the contract every ts-ordered key diverges on
+    such rows (adversarial-fixture finding, r5). Keys that do not order
+    by time (counts, modes, value stats) keep the raw table."""
+    return read_table(spark, sf, "events").filter(F.col("ts").isNotNull())
+
+
 def q_window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
-    ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    ev = _events_timed(spark, sf).select("user_id", "event_id", "ts", "value")
     return windows.running_sum(ev, "user_id", ["ts", "event_id"], "value").select(
         "user_id", "event_id", "running_value"
     )
 
 
 def q_window_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
-    ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    ev = _events_timed(spark, sf).select("user_id", "event_id", "ts", "value")
     return windows.lag_delta(ev, "user_id", ["ts", "event_id"], "value").select(
         "user_id", "event_id", "delta"
     )
@@ -258,12 +271,12 @@ def q_window_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
-    return timeseries.hourly_agg(read_table(spark, sf, "events"))
+    return timeseries.hourly_agg(_events_timed(spark, sf))
 
 
 def q_sliding_window_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Overlapping 1h/30min sliding-window agg (operators/timeseries.py)."""
-    return timeseries.sliding_hourly_agg(read_table(spark, sf, "events"))
+    return timeseries.sliding_hourly_agg(_events_timed(spark, sf))
 
 
 def q_events_daily_user(spark: SparkSession, sf: str) -> DataFrame:
@@ -275,7 +288,7 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
-    return timeseries.sessionize(read_table(spark, sf, "events"))
+    return timeseries.sessionize(_events_timed(spark, sf))
 
 
 def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
@@ -548,7 +561,7 @@ def q_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
     unchanged state compress into validity intervals with
     valid_from/valid_to/is_current — the warehouse dimension-versioning op.
     Two windows over one key exchange; exactly oracle-checkable."""
-    ev = read_table(spark, sf, "events")
+    ev = _events_timed(spark, sf)
     return relational.scd2_history(
         ev, "user_id", "ts", ["event_type"], tiebreak_col="event_id"
     )
@@ -612,7 +625,7 @@ def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     recursion. Output keys on event_id; exactly oracle-checkable."""
     # null values filtered per the operator's documented precondition
     # (mirrored in the oracle's WHERE)
-    ev = read_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    ev = _events_timed(spark, sf).filter(F.col("value").isNotNull())
     # round(4) in BOTH engines: the oracle's self-join sums weight terms in
     # a different association order than the JVM fold (~1e-12 abs noise)
     return timeseries.ewma(ev).select(
@@ -1069,10 +1082,11 @@ def q_having_order_qty(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_window_lead_first_last(spark: SparkSession, sf: str) -> DataFrame:
     """lead / first_value / last_value over one deterministic per-user time
-    order (ts, event_id tie-break)."""
+    order (ts, event_id tie-break; null-ts rows dropped per the
+    _events_timed contract)."""
     from pyspark.sql import Window
 
-    ev = read_table(spark, sf, "events")
+    ev = _events_timed(spark, sf)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return ev.select(
@@ -1118,10 +1132,11 @@ def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     by the ORDER value, not row counts — peers at equal timestamps share the
     frame in both engines). Spark range frames need a numeric order key, so
     the order is epoch-micros; DuckDB orders on the timestamp with an
-    INTERVAL bound — identical semantics at microsecond precision."""
+    INTERVAL bound — identical semantics at microsecond precision.
+    Null-ts rows dropped per the _events_timed contract."""
     from pyspark.sql import Window
 
-    ev = read_table(spark, sf, "events")
+    ev = _events_timed(spark, sf)
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
@@ -1235,7 +1250,7 @@ def q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
     composed-pipeline shape — the second agg reuses the session rows, and
     the explicit sum/count division (not avg()) keeps the float path
     bit-identical to the oracle (exact integer sums, one IEEE division)."""
-    ev = read_table(spark, sf, "events")
+    ev = _events_timed(spark, sf)
     sessions = timeseries.sessionize(ev)
     dur_us = F.unix_micros("session_end") - F.unix_micros("session_start")
     n = F.count(F.lit(1))
@@ -2465,18 +2480,18 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, event_id,
                sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS running_value
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     """,
     "window_lag_delta": """
         SELECT user_id, event_id,
                value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     """,
     # time series
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour_start, event_type,
                count(*) AS cnt, sum(value) AS sum_value
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "events_daily_user": """
         SELECT CAST(ts AS DATE) AS event_date, user_id,
@@ -2493,7 +2508,7 @@ ORACLE_SQL: dict[str, str] = {
                  CASE WHEN lag(ts) OVER w IS NULL THEN 1
                       WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
                       ELSE 0 END AS new_session
-          FROM events
+          FROM events WHERE ts IS NOT NULL
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         numbered AS (
           SELECT user_id, ts,
@@ -3009,7 +3024,8 @@ ORACLE_SQL: dict[str, str] = {
     # starting at floor30(ts) and floor30(ts) - 30 min
     "sliding_window_hourly": """
         WITH cand AS (
-          SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS s0, value FROM events
+          SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS s0, value
+          FROM events WHERE ts IS NOT NULL
         ), membership AS (
           SELECT s0 AS ws, value FROM cand
           UNION ALL
@@ -3038,7 +3054,7 @@ ORACLE_SQL: dict[str, str] = {
                                         AND UNBOUNDED FOLLOWING) AS first_val,
                last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND UNBOUNDED FOLLOWING) AS last_val
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "grouping_sets": """
@@ -3269,7 +3285,7 @@ ORACLE_SQL: dict[str, str] = {
                  CASE WHEN lag(ts) OVER w IS NULL THEN 1
                       WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
                       ELSE 0 END AS new_session
-          FROM events
+          FROM events WHERE ts IS NOT NULL
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         numbered AS (
           SELECT user_id, ts,
@@ -3378,7 +3394,7 @@ ORACLE_SQL: dict[str, str] = {
                sum(value) OVER (PARTITION BY user_id ORDER BY ts
                                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                                 AND CURRENT ROW) AS rolling_1h
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     """,
     "rolling_fingerprint": r"""
         SELECT doc_id,
@@ -3467,7 +3483,7 @@ ORACLE_SQL: dict[str, str] = {
         WITH changed AS (
           SELECT user_id, event_type, ts, event_id,
                  (lag(event_type) OVER w IS DISTINCT FROM event_type) AS chg
-          FROM events
+          FROM events WHERE ts IS NOT NULL
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         runs AS (
           SELECT user_id, event_type, ts AS valid_from,
@@ -3529,7 +3545,7 @@ ORACLE_SQL: dict[str, str] = {
           -- frame ages and break the closed-form denominator)
           SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-          FROM events WHERE value IS NOT NULL),
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
         joined AS (
           SELECT t.event_id,
                  sum(s.x * pow(0.7, t.rn - s.rn)) AS swx,

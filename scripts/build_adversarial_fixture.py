@@ -28,6 +28,10 @@ Round-5 findings from this fuzz (all fixed + regression-swept):
 - ewma over null values shifted window frames (collect_list drops nulls)
   → the documented filter-first precondition is now applied in the
   catalog key AND its oracle.
+- NULL event times: Spark windows order NULLS FIRST, DuckDB NULLS LAST —
+  every ts-ordered key diverged. Contract: time-ordered operators DROP
+  null-ts rows (the _events_timed view + WHERE in each oracle), the same
+  rule a streaming watermark enforces.
 """
 
 from __future__ import annotations
@@ -96,7 +100,7 @@ def main() -> None:
     base = dt.datetime(2024, 1, 1)
     eid = 0
     for u in (1, 2):
-        for s, v, p in [
+        for sec, v, p in [
             (0, 1.0, '{"k":1}'),
             (0, 2.0, None),
             (1800, None, "{}"),       # null value
@@ -104,17 +108,19 @@ def main() -> None:
             (1801, 4.0, "not json"),  # malformed props
             (7200, 5.0, '{"k":[1,2]}'),  # non-scalar k
             (7200, 5.0, '{"k":3}'),
+            (None, 6.0, "{}"),   # NULL event time (unprocessable by
+            #                      time-ordered ops — the _events_timed
+            #                      contract; null-ordering defaults also
+            #                      differ between the engines)
+            (7300, 7.0, None),
         ]:
-            rows.append(
-                (
-                    eid,
-                    base + dt.timedelta(seconds=s, microseconds=eid * 7),
-                    u,
-                    "click" if eid % 2 else "view",
-                    v,
-                    p,
-                )
+            ts = (
+                None
+                if sec is None
+                else base + dt.timedelta(seconds=sec, microseconds=eid * 7)
             )
+            etype = None if p is None else ("click" if eid % 2 else "view")
+            rows.append((eid, ts, u, etype, v, p))
             eid += 1
     con.sql(
         "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"

@@ -36,6 +36,16 @@ KEYS = [
     "json_extract",
     "null_handling",
     "ewma",
+    # null-ts contract (_events_timed): time-ordered keys drop such rows
+    "sessionize",
+    "session_stats",
+    "scd2_user_state",
+    "window_running_sum",
+    "window_lag_delta",
+    "window_lead_first_last",
+    "window_range_frame",
+    "events_hourly",
+    "sliding_window_hourly",
 ]
 
 
