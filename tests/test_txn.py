@@ -397,3 +397,47 @@ def test_concurrent_merges_under_real_races(spark, table):
     for v in range(5):
         m = table._read_manifest(v)
         assert m["dirs"], f"version {v} has no data dirs"
+
+
+def test_snapshot_where_equals_filter_randomized(spark, tmp_path):
+    """Data-skipping fuzz: random append batches with random id ranges,
+    then random range predicates — snapshot_where must equal
+    snapshot().filter() exactly in every case (pruning may only skip
+    directories PROVABLY disjoint from the predicate)."""
+    import random
+
+    rng = random.Random(99)
+    t = TxnTable(str(tmp_path / "fz"))
+    t.create(
+        spark.createDataFrame(
+            [(rng.randrange(1000), "c", 0.0) for _ in range(5)],
+            "id bigint, name string, v double",
+        )
+    )
+    for _ in range(5):
+        lo = rng.randrange(0, 900)
+        t.append(
+            spark.createDataFrame(
+                [(lo + rng.randrange(100), "a", float(rng.randrange(10)))
+                 for _ in range(rng.randrange(1, 6))],
+                "id bigint, name string, v double",
+            )
+        )
+    for _ in range(8):
+        a, b = sorted((rng.randrange(1000), rng.randrange(1000)))
+        lo = None if rng.random() < 0.2 else a
+        hi = None if rng.random() < 0.2 else b
+        if lo is None and hi is None:
+            continue
+        got = sorted(
+            map(tuple, t.snapshot_where(spark, "id", lo=lo, hi=hi).collect())
+        )
+        cond = []
+        if lo is not None:
+            cond.append(f"id >= {lo}")
+        if hi is not None:
+            cond.append(f"id <= {hi}")
+        want = sorted(
+            map(tuple, t.snapshot(spark).filter(" AND ".join(cond)).collect())
+        )
+        assert got == want, (lo, hi)
