@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -113,6 +114,9 @@ def ewma_stream(
 
     return (
         events.select(key_col, ts_col, tiebreak_col, value_col)
+        # the _events_timed contract: a row with no event time cannot be
+        # ordered into the recursion (and null sorts engine-dependently)
+        .filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(key_col)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
@@ -179,6 +183,7 @@ def scd2_stream(
 
     return (
         events.select(key_col, ts_col, tiebreak_col, *attr_cols)
+        .filter(F.col(ts_col).isNotNull())  # _events_timed contract
         .groupBy(key_col)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
