@@ -55,6 +55,27 @@ def ws_strip(col):
 WS_TOKENS_SQL = (
     "list_filter(string_split_regex({x}, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
 )
+
+
+def word_separated(col):
+    """Engine-portable replacement for ``\\b``-bounded word matching: Java
+    and RE2 DISAGREE on word boundaries adjacent to non-ASCII letters
+    (probed: ``\\b(the)\\b`` against 'caféthe' counts 1 in Spark, 3 in
+    DuckDB — é is a word char to one engine, not the other), and RE2 has
+    no lookarounds to pin the class explicitly. Instead: collapse every
+    run of non-[A-Za-z0-9_] chars to TWO spaces (two, so adjacent word
+    matches never compete for a shared separator in non-overlapping
+    counting) and pad the ends; word-list patterns then match as literal
+    ``' (w1|w2) '`` — same alternation, explicit ASCII boundary, identical
+    on both engines. DuckDB twin: ``WORD_SEPARATED_SQL``."""
+    return F.concat(
+        F.lit(" "), F.regexp_replace(col, "[^A-Za-z0-9_]+", "  "), F.lit(" ")
+    )
+
+
+WORD_SEPARATED_SQL = (
+    "(' ' || regexp_replace({x}, '[^A-Za-z0-9_]+', '  ', 'g') || ' ')"
+)
 WS_STRIP_SQL = (
     "regexp_replace(regexp_replace({x}, '^[ \\t\\n\\x0B\\f\\r]+', ''),"
     " '[ \\t\\n\\x0B\\f\\r]+$', '')"
@@ -96,8 +117,10 @@ def quality_score(documents: DataFrame) -> DataFrame:
     n_tokens = F.size(ws_tokens(F.col("text")))
     n_punct = F.regexp_count(F.col("text"), F.lit(r"[.,;:!?]"))
     n_upper = F.regexp_count(F.col("text"), F.lit(r"[A-Z]"))
-    stop_pattern = r"\b(" + "|".join(LANG_MARKERS["en"]) + r")\b"
-    n_stop = F.regexp_count(F.col("text"), F.lit(stop_pattern))
+    # explicit-boundary stopword count (see word_separated: \b diverges
+    # between the engines next to non-ASCII letters)
+    stop_pattern = " (" + "|".join(LANG_MARKERS["en"]) + ") "
+    n_stop = F.regexp_count(word_separated(F.col("text")), F.lit(stop_pattern))
     safe_tokens = F.when(n_tokens == 0, F.lit(1)).otherwise(n_tokens)
     safe_chars = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars)
     return documents.select(
@@ -120,10 +143,14 @@ def lang_id(documents: DataFrame) -> DataFrame:
     signature; the Spark plumbing (scan → codegen'd counts → argmax) is
     the part that must scale, and does.
     """
+    # ONE boundary normalization (word_separated — \b is not engine-
+    # portable next to non-ASCII letters), MATERIALIZED through a
+    # projection boundary so the regexp_replace runs once per document,
+    # not once per language (the same CollapseProject discipline as the
+    # n-gram token columns); then plain literal-space alternations
     counts = [
         F.regexp_count(
-            F.lower(F.col("text")),
-            F.lit(r"\b(" + "|".join(words) + r")\b"),
+            F.col("__sep"), F.lit(" (" + "|".join(words) + ") ")
         ).alias(f"hits_{lang}")
         for lang, words in LANG_MARKERS.items()
     ]
@@ -132,7 +159,9 @@ def lang_id(documents: DataFrame) -> DataFrame:
     labeled = (
         F.col("lang") if "lang" in documents.columns else F.lit(None).cast("string")
     )
-    scored = documents.select("doc_id", labeled.alias("lang"), *counts)
+    scored = documents.withColumn(
+        "__sep", word_separated(F.lower(F.col("text")))
+    ).select("doc_id", labeled.alias("lang"), *counts)
     # argmax via greatest-of-structs: (count, neg-ordinal) so ties prefer
     # earlier language in LANG_MARKERS order.
     langs = list(LANG_MARKERS)

@@ -2344,8 +2344,11 @@ def _lang_id_oracle() -> str:
     from airflow_etl_elt_spark.operators.text import LANG_MARKERS
 
     langs = list(LANG_MARKERS)
+    # word_separated boundary normalization (\b is not engine-portable
+    # next to non-ASCII letters — see operators/text.word_separated)
+    sep = "(' ' || regexp_replace(lower(text), '[^A-Za-z0-9_]+', '  ', 'g') || ' ')"
     hits = ",\n        ".join(
-        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(w)})\\b', 0)) AS hits_{lang}"
+        f"len(regexp_extract_all({sep}, ' ({'|'.join(w)}) ', 0)) AS hits_{lang}"
         for lang, w in LANG_MARKERS.items()
     )
     # argmax with ties preferring earlier language (same rule as the Spark
@@ -2572,7 +2575,8 @@ ORACLE_SQL: dict[str, str] = {
                                  x -> x <> '')) AS n_tokens,
                  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
                  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
-                 len(regexp_extract_all(text, '\b(the|and|of|to|in|is)\b', 0)) AS n_stop
+                 len(regexp_extract_all(' ' || regexp_replace(text, '[^A-Za-z0-9_]+', '  ', 'g') || ' ',
+                                        ' (the|and|of|to|in|is) ', 0)) AS n_stop
           FROM base)
         SELECT doc_id,
                CAST(n_chars_measured AS BIGINT) AS n_chars_measured,

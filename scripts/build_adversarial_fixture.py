@@ -88,6 +88,9 @@ def main() -> None:
         (17, "UPPER lower MiXeD UPPER lower", "en", "web", 29),
         (18, "1 2 3 4 5 6 7 8 9 10 11 12", "en", "web", 26),
         (19, "word " * 300, "en", "web", 1500),
+        # marker words GLUED to non-ASCII letters: \b counts them
+        # differently in Java vs RE2 (word_separated contract)
+        (20, "caféthe theéx the und der caféund", "de", "web", 33),
     ]
     con.sql(
         "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
