@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from airflow_etl_elt_spark.operators._cache import rotate_persist
-from airflow_etl_elt_spark.operators.text import WS_RE, ws_tokens
+from airflow_etl_elt_spark.operators.text import (
+    ASCII_LOWER_TABLE,
+    WS_RE,
+    ws_tokens,
+)
 from pyspark.sql.functions import pandas_udf
 
 from airflow_etl_elt_spark.sources.readers import fan_out
@@ -62,7 +66,9 @@ def _batch_token_hashes(texts: "pd.Series") -> list:
 
     ws = re.compile(WS_RE)
     token_lists = [
-        [tok for tok in ws.split(t.lower()) if tok] if t is not None else None
+        [tok for tok in ws.split(t.translate(ASCII_LOWER_TABLE)) if tok]
+        if t is not None
+        else None
         for t in texts
     ]
     vocab: dict[str, int] = {}
@@ -446,8 +452,10 @@ def ngram_jaccard_verify(
             # NULL text = empty document: jaccard 0, never a crash (the
             # fixtures are regenerated every round; a NULL row must degrade,
             # not kill the verify stage).
-            xt = [t for t in ws.split(x.lower()) if t] if x is not None else []
-            yt = [t for t in ws.split(y.lower()) if t] if y is not None else []
+            xt = ([t for t in ws.split(x.translate(ASCII_LOWER_TABLE)) if t]
+                  if x is not None else [])
+            yt = ([t for t in ws.split(y.translate(ASCII_LOWER_TABLE)) if t]
+                  if y is not None else [])
             gx = {" ".join(xt[j : j + n]) for j in range(max(len(xt) - n + 1, 1))}
             gy = {" ".join(yt[j : j + n]) for j in range(max(len(yt) - n + 1, 1))}
             u = len(gx | gy)

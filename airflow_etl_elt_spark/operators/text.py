@@ -76,6 +76,32 @@ def word_separated(col):
 WORD_SEPARATED_SQL = (
     "(' ' || regexp_replace({x}, '[^A-Za-z0-9_]+', '  ', 'g') || ' ')"
 )
+
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWERS = "abcdefghijklmnopqrstuvwxyz"
+#: Python twin of ascii_lower for the pandas-UDF tokenizers.
+ASCII_LOWER_TABLE = str.maketrans(_ASCII_UPPER, _ASCII_LOWERS)
+
+
+def ascii_lower(col):
+    """ASCII-only case folding — the engine-portable replacement for
+    ``lower()`` in oracle-checked tokenization. Full Unicode case mapping
+    is CONTEXT-SENSITIVE and the engines disagree: Java lowercases a
+    word-final Greek 'Σ' to 'ς' (final sigma), DuckDB to 'σ' — one
+    character, two digests, a silent hash mismatch on any Greek corpus
+    (adversarial probe, r5; Turkish 'İ' and friends are the same family).
+    ``translate`` of the 26 ASCII letters is locale-free, identical
+    everywhere, and CHEAPER than lower(); non-ASCII case differences are
+    then honestly preserved rather than engine-dependently folded.
+    DuckDB twin: ``ASCII_LOWER_SQL``; Python twin: ``ASCII_LOWER_TABLE``.
+    """
+    return F.translate(col, _ASCII_UPPER, _ASCII_LOWERS)
+
+
+ASCII_LOWER_SQL = (
+    "translate({x}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+    " 'abcdefghijklmnopqrstuvwxyz')"
+)
 WS_STRIP_SQL = (
     "regexp_replace(regexp_replace({x}, '^[ \\t\\n\\x0B\\f\\r]+', ''),"
     " '[ \\t\\n\\x0B\\f\\r]+$', '')"
@@ -160,7 +186,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
         F.col("lang") if "lang" in documents.columns else F.lit(None).cast("string")
     )
     scored = documents.withColumn(
-        "__sep", word_separated(F.lower(F.col("text")))
+        "__sep", word_separated(ascii_lower(F.col("text")))
     ).select("doc_id", labeled.alias("lang"), *counts)
     # argmax via greatest-of-structs: (count, neg-ordinal) so ties prefer
     # earlier language in LANG_MARKERS order.
@@ -330,7 +356,7 @@ def tfidf_top_terms(documents: DataFrame, k: int = 1) -> DataFrame:
 
     tokens = documents.select(
         "doc_id",
-        F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"),
+        F.explode(ws_tokens(ascii_lower(F.col("text")))).alias("term"),
     ).filter(F.col("term") != "")
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -362,7 +388,7 @@ def rolling_fingerprint(documents: DataFrame) -> DataFrame:
     p = (1 << 31) - 1
     # coalesce: a NULL document fingerprints as the seed 0 (same as empty)
     # on both engines, instead of a NULL that depends on null-propagation
-    tokens = ws_tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    tokens = ws_tokens(ascii_lower(F.coalesce(F.col("text"), F.lit(""))))
     token_hashes = F.transform(
         tokens,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % p,
@@ -382,7 +408,7 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     instead of full documents. md5 here is a content hash, not a security
     primitive.
     """
-    normalized = F.lower(F.regexp_replace(ws_strip(F.col("text")), WS_RE, " "))
+    normalized = ascii_lower(F.regexp_replace(ws_strip(F.col("text")), WS_RE, " "))
     return documents.select(
         "doc_id",
         F.md5(normalized.cast("binary")).alias("fp"),
@@ -396,7 +422,7 @@ def _word_freqs(documents: DataFrame, text_col: str) -> DataFrame:
         documents.select(
             F.explode(
                 F.filter(
-                    ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    ws_tokens(ascii_lower(F.coalesce(F.col(text_col), F.lit("")))),
                     lambda t: t != "",
                 )
             ).alias("w")
@@ -439,7 +465,7 @@ def bigram_lm_score(
     toks = documents.select(
         F.col(id_col),
         F.split(
-            F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS_RE
+            ascii_lower(F.coalesce(F.col(text_col), F.lit(""))), WS_RE
         ).alias("__t"),
     ).select(
         id_col, F.filter(F.col("__t"), lambda t: t != "").alias("__t")
@@ -490,7 +516,7 @@ def word_entropy(documents: DataFrame, text_col: str = "text", id_col: str = "do
         F.col(id_col),
         F.explode(
             F.filter(
-                ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                ws_tokens(ascii_lower(F.coalesce(F.col(text_col), F.lit("")))),
                 lambda t: t != "",
             )
         ).alias("__w"),

@@ -863,7 +863,7 @@ def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     token asc). Explode + two-phase agg; the sort is on the tiny agg."""
     docs = fan_out(read_table(spark, sf, "documents"))
     tokens = docs.select(
-        F.explode(text.ws_tokens(F.lower(F.col("text")))).alias("token")
+        F.explode(text.ws_tokens(text.ascii_lower(F.col("text")))).alias("token")
     ).filter(F.col("token") != "")
     return (
         tokens.groupBy("token")
@@ -2297,7 +2297,7 @@ def _minhash_oracle() -> str:
           -- ws_tokens filter: trim-based tests diverge on unicode whitespace
           SELECT doc_id, tl FROM (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text),
+                   list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                                                   '[ \\t\\n\\x0B\\f\\r]+'),
                                t -> t <> '') AS tl
             FROM documents
@@ -2346,7 +2346,7 @@ def _lang_id_oracle() -> str:
     langs = list(LANG_MARKERS)
     # word_separated boundary normalization (\b is not engine-portable
     # next to non-ASCII letters — see operators/text.word_separated)
-    sep = "(' ' || regexp_replace(lower(text), '[^A-Za-z0-9_]+', '  ', 'g') || ' ')"
+    sep = "(' ' || regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^A-Za-z0-9_]+', '  ', 'g') || ' ')"
     hits = ",\n        ".join(
         f"len(regexp_extract_all({sep}, ' ({'|'.join(w)}) ', 0)) AS hits_{lang}"
         for lang, w in LANG_MARKERS.items()
@@ -2693,7 +2693,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "top_tokens": r"""
         SELECT token, count(*) AS cnt FROM (
-          SELECT unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS token
+          SELECT unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+')) AS token
           FROM documents)
         WHERE token <> ''
         GROUP BY token ORDER BY cnt DESC, token LIMIT 20
@@ -2701,7 +2701,7 @@ ORACLE_SQL: dict[str, str] = {
     # tf-idf / outer joins / cube / ranks / scalar suites
     "tfidf_top_terms": r"""
         WITH tokens AS (
-          SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS term
+          SELECT doc_id, unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+')) AS term
           FROM documents),
         tf AS (
           SELECT doc_id, term, count(*) AS tf FROM tokens WHERE term <> ''
@@ -3187,7 +3187,7 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard": r"""
         WITH toks AS (
           SELECT doc_id,
-                 unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+                 unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+'),
                                     t -> t <> '')) AS tok
           FROM documents),
         h AS (
@@ -3226,7 +3226,7 @@ ORACLE_SQL: dict[str, str] = {
                  list_distinct(list_transform(generate_series(1, greatest(1, len(t2) - 2)),
                                               i -> coalesce(array_to_string(t2[i : i + 2], ' '), ''))) AS g
           FROM (SELECT doc_id,
-                       list_filter(string_split_regex(lower(coalesce(text, '')), '[ \t\n\x0B\f\r]+'),
+                       list_filter(string_split_regex(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+'),
                                    t -> t <> '') AS t2
                 FROM documents))
         SELECT p.id_a, p.id_b,
@@ -3245,7 +3245,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": r"""
         WITH toks AS (
           SELECT doc_id,
-                 unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+                 unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+'),
                                     t -> t <> '')) AS tok
           FROM documents),
         h AS (
@@ -3405,7 +3405,7 @@ ORACLE_SQL: dict[str, str] = {
           list_reduce(
             list_prepend(CAST(0 AS BIGINT),
               list_transform(
-                list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), t -> t <> ''),
+                list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+'), t -> t <> ''),
                 t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
             (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
         FROM documents
@@ -3421,10 +3421,12 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "doc_fingerprint": r"""
         SELECT doc_id,
-               md5(lower(regexp_replace(
+               md5(translate(regexp_replace(
                  regexp_replace(regexp_replace(text, '^[ \t\n\x0B\f\r]+', ''),
                                 '[ \t\n\x0B\f\r]+$', ''),
-                 '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
+                 '[ \t\n\x0B\f\r]+', ' ', 'g'),
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                 'abcdefghijklmnopqrstuvwxyz')) AS fp
         FROM documents ORDER BY doc_id
     """,
     # dedup
@@ -3452,7 +3454,7 @@ ORACLE_SQL: dict[str, str] = {
         WITH words AS (
           SELECT doc_id, w
           FROM (SELECT doc_id,
-                       unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS w
+                       unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS w
                 FROM documents)
           WHERE w <> ''),
         wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2)
@@ -3464,7 +3466,7 @@ ORACLE_SQL: dict[str, str] = {
     "bigram_lm_score": """
         WITH toks AS (
           SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                 list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\x0B\\f\\r]+'),
                              x -> x <> '') AS t
           FROM documents),
         grams AS (

@@ -91,6 +91,9 @@ def main() -> None:
         # marker words GLUED to non-ASCII letters: \b counts them
         # differently in Java vs RE2 (word_separated contract)
         (20, "caféthe theéx the und der caféund", "de", "web", 33),
+        # word-final Greek sigma: Java lower() gives 'ς', DuckDB 'σ' —
+        # the ascii_lower contract leaves both engines byte-identical
+        (21, "ΣΙΣΥΦΟΣ σισυφος ΣΙΣΥΦΟΣ the É è", "en", "web", 31),
     ]
     con.sql(
         "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
