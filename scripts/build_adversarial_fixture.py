@@ -32,6 +32,16 @@ Round-5 findings from this fuzz (all fixed + regression-swept):
   every ts-ordered key diverged. Contract: time-ordered operators DROP
   null-ts rows (the _events_timed view + WHERE in each oracle), the same
   rule a streaming watermark enforces.
+- \\b word boundaries next to non-ASCII letters (Java vs RE2) →
+  word_separated; unicode lower() (Greek final sigma, context-sensitive
+  case mapping) → ascii_lower.
+- Probed but deliberately NOT changed: round(x, 4) diverges when the
+  double's SHORTEST decimal lands exactly on a half (round(0.00015, 4):
+  Spark 0.0002 via BigDecimal-of-toString, DuckDB 0.0001 on the binary
+  value). The rounded catalog values (ewma, bigram cross-entropy) are
+  computed logs/weighted sums with full-length expansions — they cannot
+  shortest-print onto a half — so the knife edge is unreachable there;
+  rounding LITERAL-derived columns at low precision would be the bug.
 """
 
 from __future__ import annotations
