@@ -46,6 +46,12 @@ KEYS = [
     "window_range_frame",
     "events_hourly",
     "sliding_window_hourly",
+    # ascii_lower / word_separated contract (case folding + boundaries)
+    "top_tokens",
+    "tfidf_top_terms",
+    # embedding edges (zero/constant vectors)
+    "knn_cosine",
+    "dedup_embedding",
 ]
 
 
