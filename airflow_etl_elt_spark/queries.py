@@ -597,8 +597,15 @@ def q_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
         joined.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
+                # try_divide: a zero-variance group would throw
+                # DIVIDE_BY_ZERO under ANSI where DuckDB yields NaN — both
+                # NULL and NaN fail the > 3 gate, so the count agrees
                 F.when(
-                    F.abs((F.col("value") - F.col("__mu")) / F.col("__sd")) > 3, 1
+                    F.abs(
+                        F.try_divide(F.col("value") - F.col("__mu"), F.col("__sd"))
+                    )
+                    > 3,
+                    1,
                 ).otherwise(0)
             )
             .cast("bigint")
@@ -851,9 +858,18 @@ def q_max_by_priority(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_corr_by_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation built from its moments — NOT F.corr: under
+    ANSI mode (the Spark 4 default) F.corr on a zero-variance group
+    throws DIVIDE_BY_ZERO, where every SQL engine returns NULL. The
+    try_divide(covar, sx*sy) form is the textbook definition, degrades
+    to NULL exactly like DuckDB's corr(), and agrees to float precision
+    on normal data (adversarial probe, r5)."""
     li = read_table(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.corr("l_quantity", "l_extendedprice").alias("corr_qp"),
+        F.try_divide(
+            F.covar_samp("l_quantity", "l_extendedprice"),
+            F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+        ).alias("corr_qp"),
         F.covar_samp("l_quantity", "l_extendedprice").alias("cov_qp"),
     )
 

@@ -138,6 +138,12 @@ def main() -> None:
             etype = None if p is None else ("click" if eid % 2 else "view")
             rows.append((eid, ts, u, etype, v, p))
             eid += 1
+    # a CONSTANT-value event type: zero variance makes ANSI-mode
+    # F.corr / plain division throw DIVIDE_BY_ZERO where SQL engines
+    # yield NULL/NaN (the try_divide contract)
+    for j in range(4):
+        rows.append((800 + j, base + dt.timedelta(days=1, seconds=j), 3,
+                     "const", 5.0, "{}"))
     con.sql(
         "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
         " event_type VARCHAR, value DOUBLE, props VARCHAR)"

@@ -52,6 +52,9 @@ KEYS = [
     # embedding edges (zero/constant vectors)
     "knn_cosine",
     "dedup_embedding",
+    # zero-variance groups: ANSI DIVIDE_BY_ZERO vs SQL NULL/NaN
+    "zscore_outliers",
+    "corr_by_flag",
 ]
 
 
