@@ -35,6 +35,14 @@ Round-5 findings from this fuzz (all fixed + regression-swept):
 - \\b word boundaries next to non-ASCII letters (Java vs RE2) →
   word_separated; unicode lower() (Greek final sigma, context-sensitive
   case mapping) → ascii_lower.
+- ANSI crash-safety (zero-variance corr / z-score division) → try_divide.
+- Probed and found PORTABLE (no change needed): string comparison incl.
+  supplementary-plane chars (both engines order UTF-8 bytes), pre-epoch
+  and microsecond-edge timestamp functions, NaN group keys (both group
+  NaNs together). Probed and found UNREACHABLE by construction: DuckDB
+  throws on ln(0)/sqrt(<0) where Spark yields NULL/NaN, but every
+  catalog log argument is smoothing-bounded > 0 and every sqrt argument
+  is a sum of squares.
 - Probed but deliberately NOT changed: round(x, 4) diverges when the
   double's SHORTEST decimal lands exactly on a half (round(0.00015, 4):
   Spark 0.0002 via BigDecimal-of-toString, DuckDB 0.0001 on the binary
