@@ -13,30 +13,43 @@ Some operators MUST persist an intermediate:
 
 They cannot unpersist before returning: the caller's terminal action is what
 consumes the cache. Unpersisting eagerly would silently recompute. Instead
-each call site rotates: persisting call N unpersists call N-1's frame under
-the same tag, bounding live cache to one intermediate per operator however
-many times the bench/driver loops (ADVICE r1: caches accumulated across the
-83-query run with 'already cached' warnings).
+each call site rotates: persisting call N unpersists call N-``keep``'s frame
+under the same tag, bounding live cache to ``keep`` intermediates per
+operator however many times the bench/driver loops (ADVICE r1: caches
+accumulated across the 83-query run with 'already cached' warnings).
+
+``keep`` defaults to 1. Operators whose RETURNED frame still depends on the
+pinned cache (surrogate_key's offsets were computed from it; a recompute
+under a different materialization could renumber rows) pass ``keep=2`` so a
+second call before the first result is consumed does not evict the frame the
+first result's correctness hangs on (ADVICE r5). The constraint is then "at
+most ``keep`` results of that operator live at once" — documented at the
+call sites; interleaving more concurrent unconsumed results than ``keep``
+re-opens the lineage-pinning hazard this module exists to close.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_LIVE: dict[str, DataFrame] = {}
+_LIVE: dict[str, list[DataFrame]] = {}
 
 
-def rotate_persist(tag: str, df: DataFrame, materialize: bool = True) -> DataFrame:
+def rotate_persist(
+    tag: str, df: DataFrame, materialize: bool = True, keep: int = 1
+) -> DataFrame:
     """Persist ``df`` (optionally materializing it with a count) after
-    unpersisting the frame previously registered under ``tag``."""
-    prev = _LIVE.pop(tag, None)
-    if prev is not None:
+    unpersisting all but the newest ``keep - 1`` frames previously
+    registered under ``tag``."""
+    live = _LIVE.setdefault(tag, [])
+    df = df.persist()
+    if materialize:
+        df.count()
+    live.append(df)
+    while len(live) > keep:
+        prev = live.pop(0)
         try:
             prev.unpersist()
         except Exception:
             pass  # session may be gone; nothing to free
-    df = df.persist()
-    if materialize:
-        df.count()
-    _LIVE[tag] = df
     return df

@@ -149,7 +149,16 @@ def surrogate_key(
     # is fixed, so offsets computed below stay valid even under eviction
     # (recompute re-runs the SAME seeded range sampling); rotation bounds the
     # live cache to one frame across repeated calls (ADVICE r1).
-    ranged = rotate_persist("surrogate_key_ranged", df.repartitionByRange(n, *cols), materialize=False)
+    # keep=2: the returned frame still reads this pinned cache (the offsets
+    # below were computed from it), so a second surrogate_key call must not
+    # evict it before the first result is consumed (ADVICE r5). At most two
+    # unconsumed surrogate_key results may be live at once.
+    ranged = rotate_persist(
+        "surrogate_key_ranged",
+        df.repartitionByRange(n, *cols),
+        materialize=False,
+        keep=2,
+    )
     part_counts = (
         ranged.select(F.spark_partition_id().alias("__pid"))
         .groupBy("__pid")
@@ -200,12 +209,20 @@ def surrogate_key_distributed(df: DataFrame, out_col: str = "id") -> DataFrame:
     ``surrogate_key``'s lineage-pinning move)."""
     from airflow_etl_elt_spark.operators._cache import rotate_persist
 
+    # keep=2: the returned frame reads this pinned cache (the per-partition
+    # offsets were collected from it); a second call before the first result
+    # is consumed must not evict it — eviction would recompute
+    # monotonically_increasing_id under a possibly different scan/
+    # partitioning and the collected offsets would renumber rows (the exact
+    # lineage-pinning hazard _cache.py documents; ADVICE r5). At most two
+    # unconsumed results may be live at once.
     base = rotate_persist(
         "surrogate_key_distributed",
         df.withColumn("__mid", F.monotonically_increasing_id()).withColumn(
             "__pid", F.spark_partition_id()
         ),
         materialize=False,
+        keep=2,
     )
     stats = (
         base.groupBy("__pid")

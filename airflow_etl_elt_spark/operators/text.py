@@ -584,6 +584,7 @@ def bpe_train_merges(
     n_merges: int = 5,
     text_col: str = "text",
     max_word_types: int = 1 << 20,
+    word_types: "tuple[list[list[str]], list[int]] | None" = None,
 ) -> "list[tuple[str, str, int]]":
     """Learn the top ``n_merges`` BPE merges from a corpus (Sennrich 2016,
     implemented from the paper): repeatedly count adjacent symbol pairs
@@ -605,10 +606,18 @@ def bpe_train_merges(
     stable across partitionings, so the learned merge table is reproducible.
     Returns [(first, second, count), ...] in merge order; differential-tested
     exact against a pure-Python Sennrich reference (tests/test_corpus.py).
+
+    ``word_types``: a pre-collected ``_collect_word_types`` result, so a
+    caller that ALSO runs the reference self-check consumes one distributed
+    pass instead of two and both algorithms provably read the same table
+    (ADVICE r5). Copied defensively — the merge loop mutates its vocab.
     """
     from collections import Counter, defaultdict
 
-    vocab, freqs = _collect_word_types(documents, text_col, max_word_types)
+    if word_types is None:
+        vocab, freqs = _collect_word_types(documents, text_col, max_word_types)
+    else:
+        vocab, freqs = [list(w) for w in word_types[0]], list(word_types[1])
 
     pair_counts: Counter = Counter()
     where: defaultdict = defaultdict(set)  # pair -> word indexes containing it

@@ -1213,8 +1213,11 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     Also differential-tested full-length against the pure-Python reference
     AND the fully-distributed per-merge variant in tests/test_corpus.py."""
     docs = read_table(spark, sf, "documents")
+    # ONE distributed word-frequency pass feeds both the incremental trainer
+    # and the reference recount (ADVICE r5: the former two-collect shape
+    # doubled the corpus-scaled work and compared tables from two jobs)
     vocab, freqs = text._collect_word_types(docs, "text", 1 << 20)
-    merges = text.bpe_train_merges(docs, n_merges=100)
+    merges = text.bpe_train_merges(docs, n_merges=100, word_types=(vocab, freqs))
     ref_prefix = text.bpe_merges_reference(vocab, freqs, n_merges=20)
     ok = merges[: len(ref_prefix)] == ref_prefix
     return spark.createDataFrame(

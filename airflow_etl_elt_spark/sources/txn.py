@@ -319,39 +319,46 @@ class TxnTable:
         the consumer-facing slice of Delta's change data feed, derived from
         the two snapshots rather than stored per-commit.
 
-        Diff shape: both snapshots hash their non-key columns scan-side
-        (xxhash64 of a struct — one codegen expression), then a single
-        full-outer join ON THE KEY classifies every row; unchanged rows
-        (hash equal) drop out. The shuffle carries (key, 8-byte hash) plus
-        the post-image rows that survive — never both full snapshots' bodies
-        twice. Deletes carry the old row's values with ``_change_type =
-        'delete'``. O(|old| + |new|) with one exchange per side at any
-        scale; an append-only table could shortcut to reading just the
-        directories added between the manifests — left as the documented
-        optimization because the general form must exist anyway (merge and
-        replace rewrite directories wholesale).
+        Diff shape: a single full-outer join ON THE KEY classifies every
+        row; unchanged rows (null-safe struct equality over the non-key
+        columns) drop out. Both row structs ride the join anyway — deletes
+        need the old row's values, inserts/updates the new — so change
+        detection compares them directly with ``eqNullSafe`` rather than a
+        hash. (An earlier draft hashed the value struct; Spark's hash
+        functions SKIP null fields — a null leaves the seed unchanged — so
+        ``(a=5, b=NULL)`` and ``(a=NULL, b=5)`` collide and a null-position
+        move would silently vanish from the feed. The struct comparison has
+        no such blind spot: nulls compare positionally.) O(|old| + |new|)
+        with one exchange per side at any scale; an append-only table could
+        shortcut to reading just the directories added between the
+        manifests — left as the documented optimization because the general
+        form must exist anyway (merge and replace rewrite directories
+        wholesale).
         """
         to_v = self.latest_version() if to_version is None else to_version
         old = self.snapshot(spark, from_version)
         new = self.snapshot(spark, to_v)
         cols = new.columns
         val_cols = [c for c in cols if c != key]
-        h = F.xxhash64(F.struct(*[F.col(c) for c in val_cols]))
+        vals = F.struct(*[F.col(c) for c in val_cols])
         o = old.select(
             F.col(key).alias("__ok"),
-            h.alias("__oh"),
+            vals.alias("__ov"),
             F.struct(*[F.col(c) for c in cols]).alias("__orow"),
         )
         n = new.select(
             F.col(key).alias("__nk"),
-            h.alias("__nh"),
+            vals.alias("__nv"),
             F.struct(*[F.col(c) for c in cols]).alias("__nrow"),
         )
         joined = o.join(n, o["__ok"] == n["__nk"], "full_outer")
         change = (
             F.when(F.col("__ok").isNull(), F.lit("insert"))
             .when(F.col("__nk").isNull(), F.lit("delete"))
-            .when(F.col("__oh") != F.col("__nh"), F.lit("update_postimage"))
+            .when(
+                ~F.col("__ov").eqNullSafe(F.col("__nv")),
+                F.lit("update_postimage"),
+            )
         )
         row = F.when(F.col("__nk").isNull(), F.col("__orow")).otherwise(
             F.col("__nrow")
@@ -454,12 +461,19 @@ class TxnTable:
                 if s is None:
                     continue  # no stats for this column: can't skip on it
                 mn, mx = s
-                if clo is not None and mx < self._json_stat(clo):
-                    disjoint = True
-                    break
-                if chi is not None and mn > self._json_stat(chi):
-                    disjoint = True
-                    break
+                # 'can't skip, never wrong': a bound whose type can't be
+                # compared to the JSON-round-tripped stat (string bound on
+                # an int column, naive vs aware datetime) degrades to
+                # keeping the directory instead of raising (ADVICE r5)
+                try:
+                    if clo is not None and mx < self._json_stat(clo):
+                        disjoint = True
+                        break
+                    if chi is not None and mn > self._json_stat(chi):
+                        disjoint = True
+                        break
+                except TypeError:
+                    continue
             if not disjoint:
                 keep.append(rel)
         if keep:

@@ -26,6 +26,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _ddl(events: DataFrame, col: str) -> str:
+    """``col type`` DDL fragment with the type taken from the INPUT schema —
+    the stateful operators below parameterize their key/tiebreak/attr column
+    names, so their output types must follow the input instead of hardcoding
+    bigint/string (ADVICE r5: a string user_id key failed Arrow conversion
+    under the old hardcoded signature)."""
+    return f"{col} {events.schema[col].dataType.simpleString()}"
+
+
 def running_user_totals_stream(events: DataFrame) -> DataFrame:
     """Per-user lifetime running totals, maintained as explicit state across
     micro-batches (count + sum survive restarts via the checkpoint).
@@ -35,7 +44,7 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     per micro-batch (update semantics).
     """
 
-    out_schema = "user_id bigint, n_events bigint, total_value double"
+    out_schema = f"{_ddl(events, 'user_id')}, n_events bigint, total_value double"
     state_schema = "n bigint, total double"
 
     def fn(key, pdfs, state: GroupState):
@@ -92,7 +101,7 @@ def ewma_stream(
     stateful op makes, unlike the commutative windowed aggs.
     """
     out_schema = (
-        f"{key_col} bigint, {tiebreak_col} bigint, ewma double"
+        f"{_ddl(events, key_col)}, {_ddl(events, tiebreak_col)}, ewma double"
     )
     state_schema = "swx double, sw double"
     decay = 1.0 - alpha
@@ -141,14 +150,37 @@ def scd2_stream(
     state until the next change; the batch operator materializes it as the
     ``is_current`` row, so parity tests compare the CLOSED intervals.
     Same cross-batch in-order contract as ``ewma_stream``.
+
+    Output types follow the INPUT schema for key and attr columns (ADVICE
+    r5). Attr values cross micro-batches through JSON state, so attr
+    columns must be JSON-representable primitives (string / integral /
+    float / boolean) — anything else raises up front rather than silently
+    stringifying.
     """
     import json
 
-    attr_sql = ", ".join(f"{c} string" for c in attr_cols)
+    _JSON_OK = {
+        "string", "tinyint", "smallint", "int", "bigint", "float", "double",
+        "boolean",
+    }
+    for c in attr_cols:
+        t = events.schema[c].dataType.simpleString()
+        if t not in _JSON_OK:
+            raise ValueError(
+                f"scd2_stream attr column {c!r} has type {t}; attrs live in "
+                f"JSON state and must be one of {sorted(_JSON_OK)}"
+            )
+    attr_sql = ", ".join(_ddl(events, c) for c in attr_cols)
     out_schema = (
-        f"{key_col} bigint, {attr_sql}, valid_from timestamp, valid_to timestamp"
+        f"{_ddl(events, key_col)}, {attr_sql}, "
+        "valid_from timestamp, valid_to timestamp"
     )
     state_schema = "valid_from_us bigint, attrs string"
+
+    def _py(v):
+        if pd.isna(v):
+            return None
+        return v.item() if hasattr(v, "item") else v  # numpy scalar -> python
 
     def fn(key, pdfs, state: GroupState):
         if state.exists:
@@ -163,9 +195,7 @@ def scd2_stream(
                 [ts_col, tiebreak_col]
             )
             for _, row in batch.iterrows():
-                attrs = [
-                    None if pd.isna(row[c]) else str(row[c]) for c in attr_cols
-                ]
+                attrs = [_py(row[c]) for c in attr_cols]
                 if cur is None:
                     cur, vf_us = attrs, row[ts_col].value // 1000
                 elif attrs != cur:

@@ -353,3 +353,32 @@ def test_ewma_matches_pandas_ewm(spark, series):
         want = sub["value"].ewm(alpha=0.3, adjust=True).mean()
         for eid, w in zip(sub["event_id"], want):
             assert abs(got[eid] - float(w)) < 1e-9, eid
+
+
+def test_surrogate_key_distributed_two_live_results(spark):
+    """keep=2 rotation (ADVICE r5): a second surrogate_key_distributed call
+    before the first result is consumed must not evict the first call's
+    pinned frame — both results still number 1..N correctly when consumed
+    AFTER both calls."""
+    from airflow_etl_elt_spark.operators.relational import (
+        surrogate_key_distributed,
+    )
+
+    a = surrogate_key_distributed(spark.range(0, 500, 1, 5).selectExpr("id AS k"))
+    b = surrogate_key_distributed(spark.range(0, 300, 1, 3).selectExpr("id AS k"))
+    # consume in reverse order of creation: the first frame must survive
+    assert sorted(r["id"] for r in b.collect()) == list(range(1, 301))
+    assert sorted(r["id"] for r in a.collect()) == list(range(1, 501))
+
+
+def test_rotate_persist_keep_bounds_live_cache(spark):
+    """The rotation still bounds the live cache: under keep=1 a third call
+    leaves exactly one persisted frame under the tag; under keep=2, two."""
+    from airflow_etl_elt_spark.operators._cache import _LIVE, rotate_persist
+
+    for tag, keep, want in (("__t_k1", 1, 1), ("__t_k2", 2, 2)):
+        for i in range(3):
+            rotate_persist(tag, spark.range(i + 1), keep=keep)
+        assert len(_LIVE[tag]) == want
+        for df in _LIVE.pop(tag):
+            df.unpersist()

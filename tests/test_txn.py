@@ -441,3 +441,58 @@ def test_snapshot_where_equals_filter_randomized(spark, tmp_path):
             map(tuple, t.snapshot(spark).filter(" AND ".join(cond)).collect())
         )
         assert got == want, (lo, hi)
+
+
+def test_change_feed_null_position_move_is_update(spark, table):
+    """(a=5, b=NULL) -> (a=NULL, b=5) must register as update_postimage.
+    A value-struct HASH would miss it — Spark's hash functions skip null
+    fields, so both encodings collide (ADVICE r5); the null-safe struct
+    comparison has no such blind spot."""
+    t = table
+    v0 = t.latest_version()
+    # id=1: name 'a' -> NULL and v 10.0 stays; id=2: v NULL <- swap shape
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(1, None, 10.0), (2, "b", None)], "id bigint, name string, v double"
+        ),
+        key="id",
+    )
+    feed = {
+        r["id"]: r["_change_type"]
+        for r in t.change_feed(spark, key="id", from_version=v0).collect()
+    }
+    assert feed == {1: "update_postimage", 2: "update_postimage"}
+
+
+def test_change_feed_null_noop_not_reported(spark, table):
+    """Re-merging identical rows (including ones that STAY null) emits no
+    change rows — eqNullSafe treats null==null as equal."""
+    t = table
+    t.merge(
+        spark,
+        spark.createDataFrame([(3, None, 30.0)], "id bigint, name string, v double"),
+        key="id",
+    )
+    v1 = t.latest_version()
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(3, None, 30.0), (1, "a", 10.0)], "id bigint, name string, v double"
+        ),
+        key="id",
+    )
+    assert t.change_feed(spark, key="id", from_version=v1).count() == 0
+
+
+def test_snapshot_where_type_mismatch_keeps_directory(spark, table):
+    """A bound whose type can't compare to the stored stat degrades to the
+    conservative keep (ADVICE r5: raw < / > raised TypeError)."""
+    table.append(
+        spark.createDataFrame([(100, "z", 99.0)], "id bigint, name string, v double")
+    )
+    # string bound against bigint id stats: incomparable in Python -> must
+    # not raise, must not skip; the residual engine-side filter (which CAN
+    # cast) still applies
+    got = table.snapshot_where(spark, "id", lo="100", hi=None)
+    assert sorted(r["id"] for r in got.collect()) == [100]
