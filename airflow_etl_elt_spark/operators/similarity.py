@@ -123,35 +123,74 @@ def cosine_topk_batch(
     at once — the shape a retrieval service actually runs (q queries per
     request, not one).
 
-    ``queries`` is (query_id, query vector) — dimension-sized — and is
-    BROADCAST into one corpus scan: cost is one pass over the corpus per
-    REQUEST, not per query, with all q scores computed from the same
-    cached row. The per-query top-k is a bounded window (rank <= k) on the
-    (query_id) partitioning — at scale that shuffles q x corpus score rows,
-    so for large q pre-reduce per partition first (TakeOrdered per query) or
-    go through the ANN tiers. Ties broken by corpus id; returns
-    (query_id, vec_id, cosine, rank).
+    ``queries`` is (query_id, query vector) — request-sized, bounded by the
+    same limit a broadcast would impose — and is collected once into a
+    normalized NumPy matrix that ships inside the scoring UDF's closure:
+    cost is one pass over the corpus per REQUEST, not per query, with the
+    whole q x batch score block computed as ONE BLAS matmul per Arrow batch.
+
+    Pre-reduction (VERDICT r5 next-step 4 — the former shape windowed the
+    raw q x corpus score rows through a shuffle): each ``mapInPandas``
+    batch emits only its own per-query top-k, so the exchange feeding the
+    final rank window carries O(q * k * batches) rows — independent of
+    corpus row count — and the final window is exact because per-batch
+    top-k under the same (cosine desc, id asc) order is a monoid: any
+    global top-k row is necessarily in its batch's top-k. Ties broken by
+    corpus id; returns (query_id, vec_id, cosine, rank). Zero vectors
+    (either side) score 0, matching ``cosine_topk``.
     """
     from pyspark.sql import Window
 
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qv")
-        )
-    )
-    denom = _norm(F.col(vec_col)) * _norm(F.col("__qv"))
-    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
-        _dot(F.col(vec_col), F.col("__qv")) / denom
-    )
+    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+    from airflow_etl_elt_spark.operators.relational import SINGLE_TASK_BYTES
+
+    qid_t = dict(queries.dtypes)[query_id_col]
+    id_t = dict(embeddings.dtypes)[id_col]
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        return embeddings.select(
+            F.lit(None).cast(qid_t).alias(query_id_col),
+            F.col(id_col),
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).cast("bigint").alias("rank"),
+        ).filter(F.lit(False))
+    qids = [r[0] for r in qrows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+
+    src = embeddings.select(id_col, vec_col)
+    if _plan_size_bytes(src) < SINGLE_TASK_BYTES:
+        src = src.coalesce(1)
+
+    out_schema = f"{query_id_col} {qid_t}, {id_col} {id_t}, cosine double"
+    kk = k
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0] = 1.0
+            S = (V / n[:, None]) @ Qn.T  # batch_rows x q, one BLAS call
+            take = min(kk, len(ids))
+            out_q, out_id, out_c = [], [], []
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                top = np.lexsort((ids, -col))[:take]
+                out_q.extend([qids[j]] * take)
+                out_id.extend(ids[top])
+                out_c.extend(col[top])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "cosine": out_c}
+            )
+
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
-        embeddings.select(id_col, vec_col)
-        .crossJoin(q)
-        .select(
-            F.col("__qid").alias(query_id_col),
-            F.col(id_col),
-            cos.alias("cosine"),
-        )
+        src.mapInPandas(score_batches, out_schema)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )

@@ -223,3 +223,47 @@ def test_window_topk_distributed_keeps_window_parallel(spark, monkeypatch):
     assert "Exchange hashpartitioning(o_orderpriority" in plan
     assert "Exchange rangepartitioning" in plan
     assert "Coalesce 1" not in plan
+
+
+def test_knn_batch_prereduces_before_exchange(spark):
+    """Batch KNN (VERDICT r5 next-step 4): the exchange feeding the final
+    per-query rank window must read the MapInPandas PRE-REDUCED rows
+    (O(q*k*batches)), never the raw q x corpus score rows, and the plan
+    must contain no nested-loop join. Forced multi-partition so the
+    single-task coalesce gate can't hide the exchange."""
+    import numpy as np
+
+    from airflow_etl_elt_spark.operators.similarity import cosine_topk_batch
+
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(
+        [(i, rng.standard_normal(8).astype(float).tolist()) for i in range(400)],
+        "vec_id bigint, embedding array<float>",
+    ).repartition(4)
+    queries = spark.createDataFrame(
+        [(i, rng.standard_normal(8).astype(float).tolist()) for i in range(3)],
+        "query_id bigint, embedding array<float>",
+    )
+    out = cosine_topk_batch(emb, queries, k=5)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    # the exchange (if any — AQE may have finalized it) sits ABOVE the
+    # pre-reduction: everything below the first Exchange mention must
+    # still contain MapInPandas
+    if "Exchange" in plan:
+        below_first_exchange = plan.split("Exchange", 1)[1]
+        assert "MapInPandas" in below_first_exchange
+    # correctness of the monoid merge across partitions: agrees with the
+    # single-query exact operator per query id
+    from airflow_etl_elt_spark.operators.similarity import cosine_topk
+
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["cosine"], 9))
+        for r in out.collect()
+    }
+    qvecs = {r["query_id"]: r["embedding"] for r in queries.collect()}
+    for qid, qv in qvecs.items():
+        solo = cosine_topk(emb, [float(x) for x in qv], k=5).collect()
+        for rank, r in enumerate(solo, start=1):
+            assert got[(qid, rank)] == (r["vec_id"], round(r["cosine"], 9))
