@@ -940,25 +940,23 @@ def q_cube_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
     """Ranking-function suite: dense_rank / percent_rank / ntile / cume_dist
-    over one deterministic total order per priority. One hash exchange on
-    the partition key, each priority ranked in parallel; small inputs fuse
-    to one stage in fresh-build mode (fuse_small_input: SinglePartition
-    satisfies the window's ClusteredDistribution, so no exchange plans)."""
-    from pyspark.sql import Window
-
-    o = relational.fuse_small_input(
-        read_table(spark, sf, "orders").select(
-            "o_orderkey", "o_orderpriority", "o_totalprice"
-        )
+    over one deterministic total order per priority. Small inputs take the
+    plain one-exchange window (fused to one stage in fresh-build mode);
+    large inputs with this LOW-cardinality partition key (5 priorities)
+    take ``ranking_suite``'s range-bucket offset composition so no task
+    ever sorts a whole priority (VERDICT r5 next-step 3)."""
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return o.select(
-        "o_orderkey",
+    return windows.ranking_suite(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", ntile_n=4
+    ).select(
+        F.col("o_orderkey"),
         "o_orderpriority",
-        F.dense_rank().over(w).cast("bigint").alias("drank"),
-        F.percent_rank().over(w).alias("prank"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.cume_dist().over(w).alias("cdist"),
+        "drank",
+        "prank",
+        "quartile",
+        "cdist",
     )
 
 
