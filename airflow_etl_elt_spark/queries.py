@@ -3642,3 +3642,23 @@ ORACLE_SQL["dedup_components"] = f"""
 """
 
 ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLE_SQL))
+
+# Driver-visible quality gates for the rows-only keys (VERDICT r5 stretch
+# ask): each maps to (boolean self-check column, minimum passing fraction).
+# bench.py evaluates these once per run and emits a pass count in the bench
+# line, so the driver sees the recall/parity signals without reading tests.
+# Exactness keys require every row true; the ANN keys are approximate by
+# contract — their recall floor (0.8 here) sits below the 0.90-1.00 the
+# recall tests gate at sf0.001/sf0.01, so a pass means "the index works",
+# not "it got lucky". sample_frac is absent by design: its quality signal
+# is the exact-oracle twin `deterministic_sample`.
+SELF_CHECKS: dict[str, tuple[str, float]] = {
+    "ann_ivf": ("in_exact_top50", 0.8),
+    "ann_lsh": ("in_exact_top50", 0.8),
+    "ann_pq": ("in_exact_top50", 0.8),
+    "bpe_merges": ("matches_reference_impl", 1.0),
+    "dedup_minhash_verified": ("est_close", 1.0),
+    "kde_per_group": ("mass_ok", 1.0),
+    "media_features": ("dims_match", 1.0),
+    "pack_sequences": ("budget_ok", 1.0),
+}

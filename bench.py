@@ -227,6 +227,37 @@ def main() -> None:
             except Exception:
                 pass
 
+    # ---- Rows-only self-check gates (VERDICT r5 stretch ask) ----
+    # The 9 oracle-less keys carry in-row quality booleans (recall vs exact
+    # top-k, KDE mass, reference-impl parity, ...). Evaluate each ONCE at
+    # the bench SF and emit a pass count in the bench line so the driver
+    # sees the signals without reading tests. Untimed by design: these are
+    # correctness gates riding the bench run, not benchmark queries.
+    from airflow_etl_elt_spark.queries import SELF_CHECKS
+
+    self_check_detail: dict[str, dict] = {}
+    self_checks_pass = 0
+    for key, (col, floor_frac) in sorted(SELF_CHECKS.items()):
+        try:
+            row = (
+                QUERIES[key](spark, sf_dir)
+                .selectExpr(
+                    f"avg(cast({col} as double)) as frac",
+                    "count(*) as n",
+                )
+                .first()
+            )
+            frac = 1.0 if row["n"] == 0 else float(row["frac"])
+            ok = frac >= floor_frac
+        except Exception as exc:
+            frac, ok = None, False
+            self_check_detail[key] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        self_check_detail.setdefault(key, {}).update(
+            {"column": col, "frac": None if frac is None else round(frac, 4),
+             "floor": floor_frac, "pass": ok}
+        )
+        self_checks_pass += ok
+
     def _median(xs: list[float]) -> float:
         ys = sorted(xs)
         n = len(ys)
@@ -275,6 +306,10 @@ def main() -> None:
             if duck_total and all(k in timings_prepared for k in comparable)
             else None
         ),
+        # rows-only quality gates, evaluated this run at this SF (detail
+        # file has per-key fractions): "8/8" means every oracle-less key's
+        # in-row self-check (ANN recall, KDE mass, BPE parity, ...) passed.
+        "self_checks_pass": f"{self_checks_pass}/{len(SELF_CHECKS)}",
         "detail": "BENCH_DETAIL.json",
     }
     if errors:
@@ -298,6 +333,7 @@ def main() -> None:
                 if duck_timings[k] > 0
             },
             "errors": errors,
+            "self_checks": self_check_detail,
         }
     )
     detail_path = os.path.join(

@@ -121,3 +121,23 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.queries()) >= set(e.oracle_sql())
+
+
+def test_self_checks_cover_rows_only_keys(spark):
+    """Every oracle-less key either appears in SELF_CHECKS (bench.py emits
+    its pass/fail in the bench line) or is sample_frac (whose quality
+    signal is the exact-oracle twin deterministic_sample); each registered
+    column exists as a boolean in the query's schema and its gate passes
+    at smoke SF."""
+    from airflow_etl_elt_spark.queries import SELF_CHECKS
+
+    assert set(SELF_CHECKS) == set(ROWS_ONLY_KEYS) - {"sample_frac"}
+    for key, (col, floor_frac) in SELF_CHECKS.items():
+        df = QUERIES[key](spark, SF_SMOKE)
+        field = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        assert field.get(col) == "boolean", (key, col, field)
+        row = df.selectExpr(
+            f"avg(cast({col} as double)) as frac", "count(*) as n"
+        ).first()
+        frac = 1.0 if row["n"] == 0 else row["frac"]
+        assert frac >= floor_frac, (key, col, frac)

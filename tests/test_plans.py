@@ -111,6 +111,10 @@ ARROW_OK = {
     "ngram_jaccard",
     "media_features",
     "knn_cosine",
+    # knn_batch: the r6 pre-reduction scores each corpus batch against the
+    # broadcast query set in BLAS and emits only per-batch top-k candidate
+    # rows — MapInPandas IS the pre-reduce (see similarity.batch_knn)
+    "knn_batch",
     "ann_ivf",
     "ann_lsh",
     "label_pairs_topk",
