@@ -86,7 +86,10 @@ def ranking_suite(
     to bound it: every row keeps its rank.
 
     Scale path — range-bucket offset composition, the windowed sibling of
-    ``grouped_exact_median``'s GK-sketch machinery:
+    ``grouped_exact_median``'s bracketed-selection machinery (r6: that
+    operator's brackets come from codegen histograms now; this one keeps
+    its one-shot ``approxQuantile`` boundaries — ranking needs balanced
+    buckets, not a rank-exact bracket):
 
     1. Sketch pass: GLOBAL ``approxQuantile`` boundaries split the order
        column into ~parallelism range buckets. Approximation (and using

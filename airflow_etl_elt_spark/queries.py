@@ -42,6 +42,7 @@ from airflow_etl_elt_spark.sources.readers import (
     derived_partsupp,
     fan_out,
     read_table,
+    table_column_stats,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -118,8 +119,20 @@ def q_feature_projection(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_grouped_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """SURVEY §2 row 18 — multi-stat grouped agg (etl_elt_wine.py:426-428)."""
-    return aggregates.grouped_stats(read_table(spark, sf, "lineitem"), "l_returnflag", "l_extendedprice")
+    """SURVEY §2 row 18 — multi-stat grouped agg (etl_elt_wine.py:426-428).
+
+    Feeds the exact median the parquet footer min/max + row count as a
+    histogram bootstrap (engine scan statistics — planning hint only; the
+    median is exact under arbitrary bounds): saves the per-group bounds
+    pass AND the convergence action in the large regime."""
+    stats = table_column_stats(sf, "lineitem", "l_extendedprice")
+    return aggregates.grouped_stats(
+        read_table(spark, sf, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        value_bounds=None if stats is None else (stats[0], stats[1]),
+        total_rows=None if stats is None else stats[2],
+    )
 
 
 def q_count_by_group(spark: SparkSession, sf: str) -> DataFrame:

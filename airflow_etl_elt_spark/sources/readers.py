@@ -25,6 +25,61 @@ from pyspark.sql import functions as F
 # (applicationId, path) -> resolved base DataFrame; see read_table.
 _RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+_COLUMN_STATS_CACHE: dict[tuple[str, str], tuple[float, float, int] | None] = {}
+
+
+def table_column_stats(
+    sf_dir: str, name: str, column: str
+) -> tuple[float, float, int] | None:
+    """(min, max, total_rows) of a numeric column from the parquet FOOTER
+    statistics — the scan-statistics layer a real engine keeps in its
+    catalog (the same zone-map idea ``sources/txn.py`` uses for
+    directory-level skipping). A driver-side pyarrow metadata read: no
+    Spark job, microseconds after the per-path cache warms.
+
+    Returns None when any row group lacks min/max stats (callers fall back
+    to computing bounds with an aggregation pass). Numeric parquet stats
+    are exact (string truncation concerns don't apply), but consumers must
+    treat these as PLANNING hints only — ``grouped_exact_median`` stays
+    exact under arbitrary bounds by construction (wrong bounds clamp into
+    edge cells and only slow convergence)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (path, column)
+    if key in _COLUMN_STATS_CACHE:
+        return _COLUMN_STATS_CACHE[key]
+    res: tuple[float, float, int] | None = None
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        files = (
+            sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        mn = mx = None
+        rows = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(column)
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                rows += grp.num_rows
+                st = grp.column(ci).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("row group without min/max stats")
+                lo, hi = float(st.min), float(st.max)
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+        if mn is not None:
+            res = (mn, mx, rows)
+    except Exception:
+        res = None
+    _COLUMN_STATS_CACHE[key] = res
+    return res
+
 
 def invalidate_relation(path: str) -> None:
     """Drop any cached relation for ``path`` (all sessions). Sinks that

@@ -10,6 +10,14 @@ Join keys are shifted per replica so key cardinality scales with volume
 document texts are salted per replica so near-dup structure stays constant
 instead of exploding quadratically in N. Dimension tables are copied as-is —
 at any fact scale they stay dimension-sized.
+
+Fact tables are written in the at-rest layout a production deployment uses:
+several files x ~8 MB row groups, so BOTH engines' scans parallelize (r6).
+The driver fixtures are written as ONE file with ONE row group — neither
+Spark nor DuckDB can split inside a row group, so every sf0.1 scan is
+single-threaded by layout, not by engine; replicating that layout at 10-30x
+would measure the fixture writer, not the engines. 100 TB never ships as
+single-row-group files.
 """
 
 from __future__ import annotations
@@ -32,6 +40,20 @@ def main() -> None:
     os.makedirs(out, exist_ok=True)
     spark = get_session(app_name="scale-build")
 
+    fact_files = max(8, min(32, replicas))
+
+    def write_fact(df, path, key):
+        # several files x several row groups, range-laid-out and sorted on
+        # the natural key: the splittable at-rest layout of a production
+        # table (plain round-robin repartition measured 2.4x the bytes —
+        # shuffling breaks delta/dictionary locality; parquet.block.size
+        # bounds the writer's row-group buffer so files split)
+        df.repartitionByRange(fact_files, key).sortWithinPartitions(
+            key
+        ).write.mode("overwrite").option(
+            "parquet.block.size", str(8 * 1024 * 1024)
+        ).parquet(path)
+
     def rep(df):
         return df.crossJoin(spark.range(replicas).select(F.col("id").alias("__r")))
 
@@ -39,26 +61,41 @@ def main() -> None:
         hi = df.agg(F.max(key)).first()[0] + 1
         return rep(df).withColumn(key, F.col(key) + F.col("__r") * hi)
 
-    shift(read_table(spark, src, "orders"), "o_orderkey").drop("__r").write.mode(
-        "overwrite"
-    ).parquet(f"{out}/orders.parquet")
+    write_fact(
+        shift(read_table(spark, src, "orders"), "o_orderkey").drop("__r"),
+        f"{out}/orders.parquet",
+        "o_orderkey",
+    )
     # lineitem shares the orders keyspace: shift by the ORDERS max
     omax = read_table(spark, src, "orders").agg(F.max("o_orderkey")).first()[0] + 1
-    rep(read_table(spark, src, "lineitem")).withColumn(
-        "l_orderkey", F.col("l_orderkey") + F.col("__r") * omax
-    ).drop("__r").write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
-    shift(read_table(spark, src, "events"), "event_id").drop("__r").write.mode(
-        "overwrite"
-    ).parquet(f"{out}/events.parquet")
+    write_fact(
+        rep(read_table(spark, src, "lineitem"))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__r") * omax)
+        .drop("__r"),
+        f"{out}/lineitem.parquet",
+        "l_orderkey",
+    )
+    write_fact(
+        shift(read_table(spark, src, "events"), "event_id").drop("__r"),
+        f"{out}/events.parquet",
+        "event_id",
+    )
     dmax = read_table(spark, src, "documents").agg(F.max("doc_id")).first()[0] + 1
-    rep(read_table(spark, src, "documents")).withColumn(
-        "doc_id", F.col("doc_id") + F.col("__r") * dmax
-    ).withColumn("text", F.concat(F.col("text"), F.lit(" replica"), F.col("__r"))).drop(
-        "__r"
-    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
-    shift(read_table(spark, src, "embeddings"), "vec_id").drop("__r").write.mode(
-        "overwrite"
-    ).parquet(f"{out}/embeddings.parquet")
+    write_fact(
+        rep(read_table(spark, src, "documents"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__r") * dmax)
+        .withColumn(
+            "text", F.concat(F.col("text"), F.lit(" replica"), F.col("__r"))
+        )
+        .drop("__r"),
+        f"{out}/documents.parquet",
+        "doc_id",
+    )
+    write_fact(
+        shift(read_table(spark, src, "embeddings"), "vec_id").drop("__r"),
+        f"{out}/embeddings.parquet",
+        "vec_id",
+    )
     for t in ["customer", "supplier", "nation", "region", "part"]:
         read_table(spark, src, t).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     for t in ["lineitem", "orders", "events", "documents", "embeddings"]:

@@ -382,3 +382,72 @@ def test_rotate_persist_keep_bounds_live_cache(spark):
         assert len(_LIVE[tag]) == want
         for df in _LIVE.pop(tag):
             df.unpersist()
+
+
+def test_exact_median_histogram_regimes(spark, monkeypatch):
+    """The histogram-bracketed exact median (r6 rewrite of the GK-sketch
+    bracket) matches F.median in every regime on real data: stats
+    bootstrap, no-stats fallback, deliberately WRONG bounds (must stay
+    exact — bounds are planning hints, membership/ranks never depend on
+    them), and forced multi-level refinement."""
+    from airflow_etl_elt_spark.operators import aggregates
+    from airflow_etl_elt_spark.sources.readers import read_table, table_column_stats
+
+    monkeypatch.setattr(aggregates, "_MEDIAN_SMALL_BYTES", 1)  # force large
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    g, v = "l_returnflag", "l_extendedprice"
+    truth = {
+        r[0]: float(r[1])
+        for r in li.groupBy(g).agg(F.expr(f"cast(median({v}) as double)")).collect()
+    }
+    stats = table_column_stats("/root/testdata/sf0.001", "lineitem", v)
+    assert stats is not None and stats[2] == li.count()
+    variants = {
+        "bootstrap": dict(value_bounds=(stats[0], stats[1]), total_rows=stats[2]),
+        "fallback": {},
+        "wrong_bounds": dict(value_bounds=(50000.0, 50001.0), total_rows=stats[2]),
+    }
+    for label, kw in variants.items():
+        got = {
+            r[0]: r[1]
+            for r in aggregates.grouped_exact_median(li, g, v, **kw).collect()
+        }
+        assert got.keys() == truth.keys(), label
+        assert all(abs(got[k] - truth[k]) < 1e-9 for k in truth), (label, got)
+
+    # forced deep refinement: selection threshold of 4 rows makes every
+    # group run multiple levels (and exercises per-group convergence pads)
+    monkeypatch.setattr(aggregates, "_SELECT_MAX_ROWS", 4)
+    got = {
+        r[0]: r[1] for r in aggregates.grouped_exact_median(li, g, v).collect()
+    }
+    assert all(abs(got[k] - truth[k]) < 1e-9 for k in truth), got
+
+
+def test_exact_median_histogram_edge_shapes(spark, monkeypatch):
+    """Edge distributions through the forced-large histogram median: even
+    counts (interpolation), singletons, all-tie groups (zero-width exit),
+    NULLs (excluded), NaN (ranks above +inf, Spark sort order), and a
+    near-tie packing that exhausts refinement yet stays exact via the
+    value-compressed selection."""
+    import math
+
+    from airflow_etl_elt_spark.operators import aggregates
+
+    monkeypatch.setattr(aggregates, "_MEDIAN_SMALL_BYTES", 1)
+    monkeypatch.setattr(aggregates, "_SELECT_MAX_ROWS", 2)
+    rows = (
+        [("even", float(x)) for x in (1, 2, 3, 4)]
+        + [("single", 5.0)]
+        + [("ties", 7.0)] * 9
+        + [("nulls", None), ("nulls", 1.0), ("nulls", 3.0)]
+        + [("nan", float("nan")), ("nan", 1.0), ("nan", 2.0)]
+        + [("packed", 1.0 + i * 1e-13) for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r[0]: r[1] for r in aggregates.grouped_exact_median(df, "g", "v").collect()}
+    exp = {"even": 2.5, "single": 5.0, "ties": 7.0, "nulls": 2.0, "nan": 2.0,
+           "packed": 1.0 + 3 * 1e-13}
+    assert got.keys() == exp.keys()
+    for k, want in exp.items():
+        assert abs(got[k] - want) < 1e-15 or (math.isnan(got[k]) and math.isnan(want)), (k, got[k])
