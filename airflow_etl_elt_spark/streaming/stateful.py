@@ -133,6 +133,220 @@ def ewma_stream(
     )
 
 
+def asof_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: "list[str]",
+    strict: bool = True,
+    tolerance_seconds: "float | None" = None,
+    direction: str = "backward",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM as-of join — both sides moving — via an explicit
+    watermark-gated reorder buffer (the mechanism whose absence made
+    ``windowed.stream_asof_enrich`` decline this shape; see its docstring).
+
+    Plan: tag both sides, union them on the (key, event-time) axis, and run
+    one ``applyInPandasWithState`` keyed on ``on``. Per-key state is a pair
+    of buffers (pending left rows, right rows). A left row is emitted only
+    once the global watermark passes its timestamp — at that point Spark's
+    late-data contract guarantees no right row at or before it can still
+    arrive, so "latest right ≤ left.ts" is decided, not guessed. That is
+    exactly the reorder buffer a stream-stream as-of needs (Flink's
+    event-time temporal join makes the same trade).
+
+    State bounds (the 100 TB posture):
+
+    - left buffer: rows wait at most one watermark delay before emission;
+    - right buffer: pruned each batch to the single latest row at/below the
+      watermark plus rows above it — O(arrival rate x delay) per key, not
+      unbounded history.
+
+    Semantics mirror the batch ``operators.asof.asof_join``: ``strict``
+    (``<`` vs ``<=``), ``tolerance_seconds`` staleness gate (match older
+    than the bound comes back NULL), ``direction="forward"`` for the
+    earliest-later-row variant. Forward REQUIRES a tolerance: without one,
+    "no later right row exists yet" is undecidable on an open stream (the
+    batch operator, holding the whole axis, has no such constraint).
+    Equal-(key, ts) duplicate right rows tie-break deterministically by
+    value tuple (greatest wins), like the batch operator.
+
+    Column payloads cross micro-batches through JSON state, so left columns
+    and ``right_values`` must be JSON-representable primitives or
+    timestamps (carried as microseconds); output column types follow the
+    input schemas. Output is append-mode: ``left.* + asof_<value> ...``.
+    A left row later than every watermark the query ever reaches stays
+    buffered (visible on the NEXT trigger after the watermark moves) — the
+    honest cost of correctness under disorder; tests advance the watermark
+    with a final sentinel drop.
+    """
+    import json
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
+    if fwd and tolerance_seconds is None:
+        raise ValueError(
+            "forward as-of on a stream needs tolerance_seconds: the earliest "
+            "later match is undecidable without a bound on how much later"
+        )
+    lcols = list(left.columns)
+    out_cols = lcols + [f"asof_{c}" for c in right_values]
+    if len(set(out_cols)) != len(out_cols):
+        raise ValueError(f"output column collision in {out_cols}")
+
+    _JSON_OK = {
+        "string", "tinyint", "smallint", "int", "bigint", "float", "double",
+        "boolean",
+    }
+
+    def _decoder(df: DataFrame, c: str):
+        """Python-side decode for a value coming back out of JSON state;
+        validates the type is state-representable up front (scd2_stream's
+        contract). Timestamps are carried as unix microseconds."""
+        t = df.schema[c].dataType.simpleString()
+        if t == "timestamp":
+            return lambda v: None if v is None else pd.Timestamp(v, unit="us")
+        if t not in _JSON_OK:
+            raise ValueError(
+                f"asof_join_stream column {c!r} has type {t}; payloads live in "
+                f"JSON state and must be timestamp or one of {sorted(_JSON_OK)}"
+            )
+        return lambda v: v
+
+    l_dec = [_decoder(left, c) for c in lcols]
+    r_dec = [_decoder(right, c) for c in right_values]
+    l_is_ts = [left.schema[c].dataType.simpleString() == "timestamp" for c in lcols]
+    r_is_ts = [
+        right.schema[c].dataType.simpleString() == "timestamp" for c in right_values
+    ]
+    tol_us = None if tolerance_seconds is None else int(tolerance_seconds * 1_000_000)
+
+    out_schema = ", ".join(
+        [_ddl(left, c) for c in lcols]
+        + [f"asof_{c} {right.schema[c].dataType.simpleString()}" for c in right_values]
+    )
+    state_schema = "lbuf string, rbuf string"
+
+    l_tagged = (
+        left.filter(F.col(left_ts).isNotNull())  # _events_timed contract
+        .withWatermark(left_ts, watermark)
+        .select(
+            F.col(on).alias("__k"),
+            F.col(left_ts).alias("__ts"),
+            F.lit(1).alias("__side"),
+            F.to_json(F.struct(*[F.col(c).alias(f"c{i}") for i, c in enumerate(lcols)])).alias("__payload"),
+        )
+    )
+    r_tagged = (
+        right.filter(F.col(right_ts).isNotNull())
+        .withWatermark(right_ts, watermark)
+        .select(
+            F.col(on).alias("__k"),
+            F.col(right_ts).alias("__ts"),
+            F.lit(0).alias("__side"),
+            F.to_json(F.struct(*[F.col(c).alias(f"c{i}") for i, c in enumerate(right_values)])).alias("__payload"),
+        )
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            lbuf_json, rbuf_json = state.get
+            lbuf, rbuf = json.loads(lbuf_json), json.loads(rbuf_json)
+        else:
+            lbuf, rbuf = [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for ts, side, payload in zip(pdf["__ts"], pdf["__side"], pdf["__payload"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                d = json.loads(payload)
+                # to_json drops null struct fields (restore positionally) and
+                # renders timestamps as ISO strings (store unix micros)
+                is_ts = l_is_ts if side == 1 else r_is_ts
+                row = [
+                    (
+                        int(pd.Timestamp(d[f"c{i}"]).value // 1000)
+                        if f"c{i}" in d and is_ts[i]
+                        else d.get(f"c{i}")
+                    )
+                    for i in range(len(is_ts))
+                ]
+                (lbuf if side == 1 else rbuf).append([ts_us, row])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # deterministic tie order: greatest value tuple last at equal ts
+        rbuf.sort(key=lambda e: (e[0], json.dumps(e[1])))
+        lbuf.sort(key=lambda e: e[0])
+        out_rows = []
+        pending = []
+        for lts, lrow in lbuf:
+            # strict <: an event exactly AT the watermark may still arrive
+            # (Spark only guarantees drops strictly below it), so a left row
+            # is decided only once the watermark strictly passes its match
+            # horizon — it emits on the next trigger instead of risking a
+            # missed boundary match
+            ripe = (lts + tol_us < wm_us) if fwd else (lts < wm_us)
+            if not ripe or wm_us <= 0:
+                pending.append([lts, lrow])
+                continue
+            match = None
+            if fwd:
+                for rts, rrow in rbuf:  # earliest later row wins
+                    later = rts > lts if strict else rts >= lts
+                    if later and rts - lts <= tol_us:
+                        match = rrow
+                        break
+            else:
+                for rts, rrow in rbuf:  # latest earlier row wins (sorted asc)
+                    earlier = rts < lts if strict else rts <= lts
+                    if earlier and (tol_us is None or lts - rts <= tol_us):
+                        match = rrow
+                    elif not earlier:
+                        break
+            out_rows.append((lrow, match))
+        # prune the right buffer: matches for every pending left (lts above
+        # the ripeness horizon) only ever need the latest right at/below the
+        # horizon plus everything after it
+        horizon = (wm_us - (tol_us or 0)) if fwd else wm_us
+        keep_from = 0
+        for i, (rts, _) in enumerate(rbuf):
+            if rts <= horizon:
+                keep_from = i
+            else:
+                break
+        rbuf = rbuf[keep_from:]
+        if pending or rbuf:
+            state.update((json.dumps(pending), json.dumps(rbuf)))
+            if pending:
+                # EventTimeTimeout re-invokes this key when the watermark
+                # passes the earliest pending row's ripeness point — without
+                # it, a buffered left row would wait for the next DATA batch
+                # on its key instead of the next watermark advance (no-data
+                # micro-batches only visit timed-out keys)
+                next_ms = min(
+                    lts // 1000 + (tol_us // 1000 if fwd else 0) + 1
+                    for lts, _ in pending
+                )
+                state.setTimeoutTimestamp(max(next_ms, wm_us // 1000 + 1))
+        else:
+            state.remove()  # fully drained key holds no state
+        data: dict[str, list] = {c: [] for c in out_cols}
+        for lrow, match in out_rows:
+            for i, c in enumerate(lcols):
+                data[c].append(l_dec[i](lrow[i]))
+            for i, c in enumerate(right_values):
+                data[f"asof_{c}"].append(r_dec[i](match[i]) if match else None)
+        yield pd.DataFrame(data, columns=out_cols)
+
+    return unioned.groupBy("__k").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def scd2_stream(
     events: DataFrame,
     key_col: str = "user_id",

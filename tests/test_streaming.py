@@ -413,3 +413,136 @@ def test_scd2_stream_rejects_non_json_attr_types(spark, tmp_path):
     stream = spark.readStream.schema(schema).parquet(src)
     with _pytest.raises(ValueError, match="JSON state"):
         scd2_stream(stream, attr_cols=("seen",))
+
+
+def _write_drop(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(path)
+
+
+def test_asof_join_stream_matches_batch(spark, tmp_path):
+    """Stream-STREAM as-of join: the watermark-gated reorder buffer emits,
+    across three micro-batch runs through the checkpoint, exactly the batch
+    asof_join rows whose left timestamp the final watermark has passed —
+    including a match that spans the drop boundary (right row arrives in a
+    LATER drop than the left row it decorates)."""
+    from airflow_etl_elt_spark.operators.asof import asof_join
+    from airflow_etl_elt_spark.streaming.stateful import asof_join_stream
+
+    lsrc, rsrc = str(tmp_path / "trades"), str(tmp_path / "quotes")
+    ckpt = str(tmp_path / "ckpt")
+    lschema = "trade_id bigint, ts timestamp, sym string, qty double"
+    rschema = "ts timestamp, sym string, px double"
+
+    def run():
+        lstream = spark.readStream.schema(lschema).parquet(lsrc)
+        rstream = spark.readStream.schema(rschema).parquet(rsrc)
+        return _run_foreach_batch(
+            asof_join_stream(
+                lstream, rstream, on="sym", left_ts="ts", right_ts="ts",
+                right_values=["px"], strict=True, watermark="10 minutes",
+            ),
+            ckpt,
+            mode="append",
+        )
+
+    # drop 1: quotes before and after the first trades; trade 3 has no
+    # quote yet (its quote arrives in drop 2 — the reorder case)
+    _write_drop(spark, rsrc, [(_ts(0, 0), "A", 10.0), (_ts(0, 4), "A", 11.0),
+                              (_ts(0, 1), "B", 50.0)], rschema)
+    _write_drop(spark, lsrc, [(1, _ts(0, 5), "A", 1.0),
+                              (2, _ts(0, 2), "B", 2.0),
+                              (3, _ts(0, 30), "B", 3.0)], lschema)
+    got = run()
+    # drop 2: the late-ish quote for trade 3, plus more trades
+    _write_drop(spark, rsrc, [(_ts(0, 20), "B", 55.0)], rschema)
+    _write_drop(spark, lsrc, [(4, _ts(0, 40), "A", 4.0),
+                              (5, _ts(0, 6), "C", 5.0)], lschema)  # C: no quotes at all
+    got += run()
+    # drop 3: watermark-advancing sentinels on a spectator key (watermark is
+    # global, so these ripen every earlier left row); the sentinel trade
+    # itself stays buffered — the documented contract
+    _write_drop(spark, rsrc, [(_ts(6, 0), "Z", 0.0)], rschema)
+    _write_drop(spark, lsrc, [(99, _ts(6, 0), "Z", 0.0)], lschema)
+    got += run()
+
+    streamed = sorted((r["trade_id"], r["sym"], r["asof_px"]) for r in got)
+    batch = sorted(
+        (r["trade_id"], r["sym"], r["asof_px"])
+        for r in asof_join(
+            spark.read.parquet(lsrc), spark.read.parquet(rsrc),
+            on="sym", left_ts="ts", right_ts="ts", right_values=["px"],
+            strict=True,
+        ).collect()
+        if r["trade_id"] != 99  # still buffered: final watermark has not passed it
+    )
+    assert streamed == batch and len(streamed) == 5
+    by_id = {r[0]: r[2] for r in streamed}
+    assert by_id[1] == 11.0     # latest A quote before 0:05
+    assert by_id[2] == 50.0
+    assert by_id[3] == 55.0     # the quote that arrived a drop later
+    assert by_id[4] == 11.0
+    assert by_id[5] is None     # key with no right rows
+
+
+def test_asof_join_stream_tolerance_and_forward(spark, tmp_path):
+    """tolerance_seconds null-gates stale matches; direction='forward'
+    matches the earliest later quote within the bound and REQUIRES a
+    tolerance on a stream (undecidable without one)."""
+    import pytest as _pytest
+
+    from airflow_etl_elt_spark.operators.asof import asof_join
+    from airflow_etl_elt_spark.streaming.stateful import asof_join_stream
+
+    lschema = "trade_id bigint, ts timestamp, sym string"
+    rschema = "ts timestamp, sym string, px double"
+    lrows = [(1, _ts(0, 5), "A"), (2, _ts(1, 30), "A")]
+    rrows = [(_ts(0, 4), "A", 10.0), (_ts(0, 7), "A", 12.0)]
+    sentinel_l = [(99, _ts(8, 0), "Z")]
+    sentinel_r = [(_ts(8, 0), "Z", 0.0)]
+
+    for mode, kwargs, expect in [
+        # backward, 10-min staleness: trade 2's only earlier quote is ~83
+        # minutes stale -> NULL
+        ("tol", dict(strict=True, tolerance_seconds=600), {1: 10.0, 2: None}),
+        # forward, 10-min horizon: trade 1 takes the 0:07 quote, trade 2
+        # has no later quote within bound -> NULL
+        ("fwd", dict(strict=True, tolerance_seconds=600, direction="forward"),
+         {1: 12.0, 2: None}),
+    ]:
+        lsrc = str(tmp_path / f"l_{mode}")
+        rsrc = str(tmp_path / f"r_{mode}")
+        _write_drop(spark, lsrc, lrows + sentinel_l, lschema)
+        _write_drop(spark, rsrc, rrows + sentinel_r, rschema)
+        # two runs: run 1 sets the watermark from the data, run 2 emits
+        got = []
+        for _ in range(2):
+            lstream = spark.readStream.schema(lschema).parquet(lsrc)
+            rstream = spark.readStream.schema(rschema).parquet(rsrc)
+            got += _run_foreach_batch(
+                asof_join_stream(
+                    lstream, rstream, on="sym", left_ts="ts", right_ts="ts",
+                    right_values=["px"], watermark="10 minutes", **kwargs,
+                ),
+                str(tmp_path / f"ck_{mode}"),
+                mode="append",
+            )
+        assert {r["trade_id"]: r["asof_px"] for r in got} == expect
+        # and the emitted rows agree with the batch operator
+        batch = {
+            r["trade_id"]: r["asof_px"]
+            for r in asof_join(
+                spark.read.parquet(lsrc), spark.read.parquet(rsrc),
+                on="sym", left_ts="ts", right_ts="ts", right_values=["px"],
+                **kwargs,
+            ).collect()
+            if r["trade_id"] != 99
+        }
+        assert {r["trade_id"]: r["asof_px"] for r in got} == batch
+
+    with _pytest.raises(ValueError, match="tolerance"):
+        asof_join_stream(
+            spark.readStream.schema(lschema).parquet(str(tmp_path / "l_tol")),
+            spark.readStream.schema(rschema).parquet(str(tmp_path / "r_tol")),
+            on="sym", left_ts="ts", right_ts="ts", right_values=["px"],
+            direction="forward",
+        )
