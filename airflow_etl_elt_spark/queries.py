@@ -3903,8 +3903,20 @@ ORACLE_SQL["stream_sessionize"] = """
 """
 
 # stream-stream as-of through the reorder buffer == DuckDB ASOF JOIN with
-# the 1h staleness gate (same oracle as the batch asof_join_tolerance key)
-ORACLE_SQL["stream_asof_join"] = ORACLE_SQL["asof_join_tolerance"]
+# the 1h staleness gate. Differs from the batch asof_join_tolerance oracle
+# in one clause: a NULL-ts left row cannot be watermarked (the streaming
+# _events_timed contract filters it), so the oracle filters it too — the
+# batch operator instead carries it through with a NULL match.
+ORACLE_SQL["stream_asof_join"] = """
+    SELECT a.event_id,
+           CASE WHEN a.ts - b.ts <= INTERVAL 1 HOUR THEN b.value END
+             AS asof_value
+    FROM (SELECT * FROM events
+          WHERE event_type = 'click' AND ts IS NOT NULL) a
+    ASOF LEFT JOIN (SELECT * FROM events
+                    WHERE event_type = 'purchase' AND ts IS NOT NULL) b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
 
 ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLE_SQL))
 
