@@ -119,6 +119,10 @@ ARROW_OK = {
     "ann_lsh",
     "label_pairs_topk",
     "dedup_embedding",
+    # lang_id: marker counting runs in pyarrow's RE2 kernels via a scalar
+    # pandas UDF — measured 3x over the java.util.regex codegen form at
+    # the 10x replica (SCALING r6 addendum 2); ArrowEvalPython is the point
+    "lang_id",
 }
 
 
