@@ -49,8 +49,21 @@ _EVENT_SCHEMA = (
 
 
 def _stage_dir(sf_dir: str, variant: str) -> str:
+    """Cache key includes the SOURCE FILE identity (size + mtime of every
+    file under events.parquet), not just the path: the driver regenerates
+    fixtures between rounds, and a path-keyed cache surviving in /tmp
+    would silently serve last round's rows against this round's oracle."""
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    ident = [src]
+    if os.path.isfile(src):
+        st = os.stat(src)
+        ident.append(f"{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isdir(src):
+        for f in sorted(glob.glob(os.path.join(src, "*"))):
+            st = os.stat(f)
+            ident.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.md5(
-        f"{_STAGE_VERSION}|{os.path.abspath(sf_dir)}|{variant}".encode()
+        f"{_STAGE_VERSION}|{'|'.join(ident)}|{variant}".encode()
     ).hexdigest()[:16]
     return os.path.join(_STAGE_ROOT, key)
 
