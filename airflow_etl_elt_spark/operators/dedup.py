@@ -315,6 +315,25 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_sig"),
     )
+    # Small-input broadcast regime for the verify joins (gated on the
+    # DOCUMENTS projection — the post-UDF band frame has no usable Catalyst
+    # estimate): broadcasting the persisted signature frame kills both id
+    # exchanges after the pair expansion (measured 3.1→2.1 s fresh at
+    # sf0.1; a coalesce(1) band-fusion variant was measured and REJECTED —
+    # 11 s: the single task serializes the band self-join AND recomputes
+    # the unshared band projection twice). Large inputs keep the
+    # distributed id-join shape — signatures at corpus scale outgrow any
+    # broadcast.
+    import os as _os
+
+    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+    from airflow_etl_elt_spark.operators.relational import SINGLE_TASK_BYTES
+
+    small_input = (
+        _plan_size_bytes(documents.select(id_col, text_col))
+        < SINGLE_TASK_BYTES
+    )
+
     # Bucket = (band_id, band_sig). Pair expansion inside each bucket.
     left = banded.select("band_id", "band_sig", F.col("id").alias("id_a"))
     right = banded.select("band_id", "band_sig", F.col("id").alias("id_b"))
@@ -328,6 +347,8 @@ def minhash_lsh_pairs(
     # the corpus) and verify with the agreeing-minhash fraction.
     sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    if small_input:
+        sig_a, sig_b = F.broadcast(sig_a), F.broadcast(sig_b)
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
