@@ -181,6 +181,11 @@ def stage_event_drops(
 def read_drops(spark: SparkSession, staged: str) -> DataFrame:
     """File-source stream over the staged drops, ONE FILE PER MICRO-BATCH —
     every downstream operator crosses real batch boundaries."""
+    # Session TZ pin, same contract as read_table: window()/session_window
+    # bucket instants in SESSION time, and on a staging cache hit nothing
+    # else has pinned a non-UTC caller session yet (read_table only runs on
+    # a cache miss) — the oracle computes naive/UTC boundaries.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return (
         spark.readStream.schema(_EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
