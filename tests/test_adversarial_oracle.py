@@ -55,6 +55,14 @@ KEYS = [
     # zero-variance groups: ANSI DIVIDE_BY_ZERO vs SQL NULL/NaN
     "zscore_outliers",
     "corr_by_flag",
+    # r6 streaming/txn tiers: null-ts watermark contract, null event_type
+    # through JSON state, empty right side, argmax null handling
+    "stream_dedup",
+    "stream_scd2_closed",
+    "stream_asof_join",
+    "stream_interval_join",
+    "txn_change_feed",
+    "txn_merge_upsert",
 ]
 
 
