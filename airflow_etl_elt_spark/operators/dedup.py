@@ -264,6 +264,133 @@ def minhash_signatures(
     )
 
 
+def _banded_ids(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band_id, band_sig) rows: each signature's ``bands`` compact
+    64-bit band keys (xxhash64 of the band's minhash slice). Shared by the
+    one-shot self-join (``minhash_lsh_pairs``) and the incremental
+    index-join (``minhash_incremental_pairs``) so both sides of any band
+    join are guaranteed byte-identical key derivations."""
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+
+
+def minhash_index_write(
+    documents: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus MinHash signature index — (id, sig:
+    array<bigint>[num_hashes]) parquet at ``path``.
+
+    The production shape for CONTINUOUS dedup at 100 TB: the corpus text is
+    sketched exactly once (the expensive shingle+hash Arrow/NumPy pass over
+    every byte), and each future increment joins against this persisted
+    64-longs-per-doc index instead of re-reading corpus text. At 100 TB of
+    text the index is ~0.05% of corpus bytes; appending each accepted
+    increment's signatures (``mode="append"``) keeps it current without
+    ever re-sketching."""
+    minhash_signatures(
+        documents, text_col, id_col, num_hashes, shingle_k, seed
+    ).write.mode(mode).parquet(path)
+
+
+def minhash_incremental_pairs(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs between an INCREMENT and a persisted corpus index
+    (``minhash_index_write``): (id_new, id_corpus, est_jaccard),
+    est_jaccard ≥ ``threshold``.
+
+    This is the scale path one-shot ``minhash_lsh_pairs`` cannot be: a
+    daily increment against an already-deduped 100 TB corpus must not
+    re-sketch (or even re-read) the corpus. Plan shape:
+
+    - the increment pays the signature UDF over ITS text only;
+    - band keys are derived identically on both sides (``_banded_ids``)
+      and equi-joined — when the increment is small (the normal case) its
+      banded frame is BROADCAST, so candidate generation is one map-side
+      pass over the index with zero index shuffle;
+    - the verify join re-reads only the surviving candidates' signatures:
+      the (pairs ⋈ increment-sigs) frame is broadcast into one more
+      map-side pass over the index. Above the broadcast gate both joins
+      fall back to the planner's distributed shape — correct at any size.
+
+    Same sketch parameters must be passed as at index-build time (the
+    signature function is deterministic in them)."""
+    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+    from airflow_etl_elt_spark.operators.relational import SINGLE_TASK_BYTES
+
+    rows_per_band = num_hashes // bands
+    idx = spark.read.parquet(index_path)
+    new_sigs = rotate_persist(
+        "minhash_inc_sigs",
+        minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_k, seed),
+    )
+    small_increment = (
+        _plan_size_bytes(new_docs.select(id_col, text_col)) < SINGLE_TASK_BYTES
+    )
+
+    new_banded = _banded_ids(new_sigs, bands, rows_per_band).select(
+        "band_id", "band_sig", F.col("id").alias("id_new")
+    )
+    if small_increment:
+        new_banded = F.broadcast(new_banded)
+    idx_banded = _banded_ids(idx, bands, rows_per_band).select(
+        "band_id", "band_sig", F.col("id").alias("id_corpus")
+    )
+    pairs = (
+        idx_banded.join(new_banded, ["band_id", "band_sig"])
+        .select("id_new", "id_corpus")
+        .dropDuplicates(["id_new", "id_corpus"])
+    )
+
+    sig_n = new_sigs.select(F.col("id").alias("id_new"), F.col("sig").alias("sig_a"))
+    pj = pairs.join(sig_n, "id_new")
+    if small_increment:
+        pj = F.broadcast(pj)
+    sig_c = idx.select(F.col("id").alias("id_corpus"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        sig_c.join(pj, "id_corpus")
+        .select(
+            "id_new",
+            "id_corpus",
+            (agree / F.lit(num_hashes)).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     text_col: str = "text",
@@ -302,19 +429,7 @@ def minhash_lsh_pairs(
     # band's minhash slice) and explode to (band_id, band_sig) rows carrying
     # ONLY the doc id — at scale the band join shuffles ids, never the
     # 64-long signatures (16x less traffic than joining sigs through).
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_sig"),
-    )
+    banded = _banded_ids(sigs, bands, rows_per_band)
     # Small-input broadcast regime for the verify joins (gated on the
     # DOCUMENTS projection — the post-UDF band frame has no usable Catalyst
     # estimate): broadcasting the persisted signature frame kills both id

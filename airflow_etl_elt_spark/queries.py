@@ -408,6 +408,62 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(read_table(spark, sf, "documents"), threshold=0.4)
 
 
+_MINHASH_IDX_VERSION = "v1"
+
+
+def _minhash_index_dir(sf: str) -> str:
+    """Identity-keyed cache dir for the persisted corpus signature index
+    (same size+mtime keying as streaming.catalog._stage_dir: the driver
+    regenerates fixtures between rounds, and a path-keyed cache surviving
+    in /tmp would serve last round's signatures against this round's
+    oracle)."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf), "documents.parquet")
+    ident = [src]
+    if os.path.isfile(src):
+        st = os.stat(src)
+        ident.append(f"{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isdir(src):
+        for f in sorted(glob.glob(os.path.join(src, "*"))):
+            st = os.stat(f)
+            ident.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5(
+        f"{_MINHASH_IDX_VERSION}|{'|'.join(ident)}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_minhash_idx", key)
+
+
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup detection against a PERSISTED corpus signature
+    index — the continuous-ingest shape ``dedup_minhash`` cannot be: a
+    daily increment against an already-deduped 100 TB corpus must not
+    re-sketch (or re-read) corpus text. Corpus = doc_id % 10 != 0, sketched
+    ONCE per fixture identity into a /tmp-cached parquet index
+    (``minhash_index_write``); increment = doc_id % 10 == 0, sketched per
+    call and band-joined against the index (broadcast increment → one
+    map-side pass over the index, zero index shuffle). ORACLE-CHECKED: the
+    same SQL sketch twin as ``dedup_minhash`` with the candidate join
+    crossed between the two subsets."""
+    import os
+
+    docs = read_table(spark, sf, "documents")
+    idx_dir = _minhash_index_dir(sf)
+    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        dedup.minhash_index_write(
+            docs.filter(F.col("doc_id") % 10 != 0), idx_dir
+        )
+    return dedup.minhash_incremental_pairs(
+        spark,
+        idx_dir,
+        docs.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.4,
+    )
+
+
 def q_dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash LSH pairs with a driver-visible self-check: ``est_close``
     asserts the 64-hash agreement estimate landed within 0.3 (≈4.8σ at 64
@@ -2325,7 +2381,9 @@ def q_txn_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
 # (ann_ivf, media_features, events_* tail …) coast on their green r03
 # rows; my own scripts/sweep_oracle.py covers all keys every round.
 QUERIES: dict[str, QueryFn] = {
-    # --- NEW in r6: the streaming tier + txn tier, driver-hash-checked ---
+    # --- NEW in r6: incremental dedup vs persisted index; streaming + txn
+    # tiers, driver-hash-checked ---
+    "dedup_incremental": q_dedup_incremental,
     "txn_change_feed": q_txn_change_feed,
     "txn_merge_upsert": q_txn_merge_upsert,
     "stream_interval_join": q_stream_interval_join,
@@ -2539,10 +2597,19 @@ def prepare_all(
 
 QUERIES = {k: _plan_cached(k, fn) for k, fn in QUERIES.items()}
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(
+    pair_clause: str = "a.doc_id < b.doc_id",
+    name_a: str = "id_a",
+    name_b: str = "id_b",
+) -> str:
     """DuckDB twin of ``dedup.minhash_lsh_pairs`` (threshold 0.4) — the
     r5 conversion of the last big rows-only key to an exact oracle
     (VERDICT r4 next-step 5), following the ``dedup_simhash`` precedent.
+
+    ``pair_clause``/``name_a``/``name_b`` parameterize the candidate join
+    so the SAME sketch replication also oracles the r6 incremental key
+    (``dedup_incremental``: increment side a vs corpus side b, names
+    id_new/id_corpus) — one SQL twin, two pairing disciplines.
 
     Every stage of the sketch is replicated in SQL:
 
@@ -2629,17 +2696,17 @@ def _minhash_oracle() -> str:
           SELECT doc_id, jj.j, sig[4*jj.j+1:4*jj.j+4] AS bs
           FROM sigl, (SELECT unnest(generate_series(0, 15)) AS j) jj),
         cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          SELECT DISTINCT a.doc_id AS {name_a}, b.doc_id AS {name_b}
           FROM bands a JOIN bands b
-            ON a.j = b.j AND a.bs = b.bs AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b, est_jaccard FROM (
-          SELECT c.id_a, c.id_b,
+            ON a.j = b.j AND a.bs = b.bs AND {pair_clause})
+        SELECT {name_a}, {name_b}, est_jaccard FROM (
+          SELECT c.{name_a}, c.{name_b},
                  list_sum(list_transform(range(1, 65),
                           k -> CASE WHEN sa.sig[k] = sb.sig[k]
                                     THEN 1 ELSE 0 END)) / 64.0 AS est_jaccard
           FROM cand c
-          JOIN sigl sa ON sa.doc_id = c.id_a
-          JOIN sigl sb ON sb.doc_id = c.id_b)
+          JOIN sigl sa ON sa.doc_id = c.{name_a}
+          JOIN sigl sb ON sb.doc_id = c.{name_b})
         WHERE est_jaccard >= 0.4
     """
 
@@ -3891,6 +3958,11 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY lbl, cosine DESC, id_a, id_b
     """,
     "dedup_minhash": _minhash_oracle(),
+    "dedup_incremental": _minhash_oracle(
+        pair_clause="a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0",
+        name_a="id_new",
+        name_b="id_corpus",
+    ),
 }
 
 # Keys intentionally WITHOUT oracle SQL (driver records rows-only check):

@@ -107,6 +107,9 @@ ARROW_OK = {
     "grouped_stats",
     "kde_per_group",
     "dedup_minhash",
+    # dedup_incremental: the INCREMENT side pays the same signature UDF as
+    # dedup_minhash (the corpus side reads persisted signatures — no UDF)
+    "dedup_incremental",
     "dedup_simhash",
     "ngram_jaccard",
     "media_features",

@@ -21,6 +21,7 @@ from __future__ import annotations
 import itertools
 
 import pytest
+from pyspark.sql import functions as F
 
 from airflow_etl_elt_spark.operators import dedup, similarity
 from airflow_etl_elt_spark.queries import _query_vec
@@ -150,6 +151,33 @@ def test_minhash_candidate_recall(spark, doc_rows):
     recall = len(true_pairs & cands) / len(true_pairs)
     # measured 1.0 (25/25 true pairs at jaccard>=0.5)
     assert recall >= 0.9, f"minhash candidate recall {recall:.2f}"
+
+
+def test_minhash_incremental_matches_one_shot_cross_pairs(spark, tmp_path):
+    """The incremental index-join discipline must find EXACTLY the one-shot
+    operator's pairs that cross the corpus/increment split — same sketch,
+    same banding, same verify, different pairing. Also proves the persisted
+    index round-trips: signatures written to parquet and read back behave
+    identically to in-memory ones."""
+    docs = read_table(spark, SF_CORRECT, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = str(tmp_path / "sig_idx")
+    dedup.minhash_index_write(corpus, idx)
+    got = {
+        (r["id_new"], r["id_corpus"]): round(r["est_jaccard"], 9)
+        for r in dedup.minhash_incremental_pairs(
+            spark, idx, new, threshold=0.0
+        ).collect()
+    }
+    want = {}
+    for r in dedup.minhash_lsh_pairs(docs, threshold=0.0).collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a % 10 == 0) != (b % 10 == 0):  # exactly one side is increment
+            nid, cid = (a, b) if a % 10 == 0 else (b, a)
+            want[(nid, cid)] = round(r["est_jaccard"], 9)
+    assert want, "fixture regression: no cross-split near-dup pairs at sf0.01"
+    assert got == want
 
 
 def test_simhash_banding_is_exact(spark, doc_rows):
