@@ -1109,12 +1109,18 @@ def q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
     # Cost-gated customer/orders broadcasts: kill the custkey shuffle and
     # the one fact-fact (li ⋈ o) shuffle. Gated because customer AND orders
     # are FACTS at 100 TB — above the bound the planner's shuffle joins
-    # stand.
+    # stand. Bound = 16 MB of plan estimate, matching the session
+    # autoBroadcast threshold and its rationale (the estimate is compressed
+    # bytes x column fraction; hash-relation BUILD cost is rows): measured
+    # at the 30x replica (orders 2-col estimate 19.3 MB = 4.5M rows) the
+    # broadcast build made q5 3.55 s vs 1.6 s with the shuffle join, while
+    # at 10x (6.4 MB = 1.5M rows) the two are a tie — the crossover sits
+    # between them, and 16 MB splits it on the honest side.
     from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
 
-    cc = F.broadcast(c) if _plan_size_bytes(c) < 64 * 1024 * 1024 else c
+    cc = F.broadcast(c) if _plan_size_bytes(c) < 16 * 1024 * 1024 else c
     oo = o.select("o_orderkey", "o_custkey")
-    if _plan_size_bytes(oo) < 64 * 1024 * 1024:
+    if _plan_size_bytes(oo) < 16 * 1024 * 1024:
         oo = F.broadcast(oo)
     # all probe sides broadcast → a fused-small lineitem stream side makes
     # the whole five-way join one fresh-build stage (no-op in prepared mode)
@@ -1607,8 +1613,10 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     cc = c.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
     li = li.select("l_orderkey", "l_extendedprice", "l_discount")
     if (
-        _plan_size_bytes(oo) < 64 * 1024 * 1024
-        and _plan_size_bytes(cc) < 64 * 1024 * 1024
+        # 16 MB: the measured q5 crossover (see q_tpch_q5_local_revenue) —
+        # the estimate under-reports hash-relation build cost ~3x in rows
+        _plan_size_bytes(oo) < 16 * 1024 * 1024
+        and _plan_size_bytes(cc) < 16 * 1024 * 1024
     ):
         oo, cc = F.broadcast(oo), F.broadcast(cc)
         # broadcast probes + fused-small stream side = one fresh-build stage
