@@ -31,6 +31,10 @@ KEYS = [
     "segment_dedup",
     "boilerplate_segments",
     "dedup_simhash",
+    "dedup_minhash",
+    # r6 incremental-index variant shares the sketch; its extra risk is the
+    # persisted-signature round-trip + cross-subset candidate join
+    "dedup_incremental",
     "ngram_jaccard",
     "bigram_lm_score",
     "json_extract",
