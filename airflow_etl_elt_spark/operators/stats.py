@@ -34,6 +34,14 @@ def _gaussian_kde_grid(values: np.ndarray, grid: np.ndarray) -> np.ndarray:
     h = sigma * n ** (-1.0 / 5.0)
     z = (grid[:, None] - values[None, :]) / h
     dens = np.exp(-0.5 * z * z).sum(axis=1) / (n * h * np.sqrt(2 * np.pi))
+    # Portability clamp (r6, part of the exact-oracle contract): densities
+    # this small are built from exp() outputs in or near the SUBNORMAL
+    # range, where libm implementations legitimately differ by whole ulps
+    # of a subnormal — not 1e-15 relative like the normal range — so the
+    # 9-significant-digit oracle canonicalization cannot absorb them. They
+    # are numerical noise for any consumer (the chart sink plots them as
+    # exactly the axis line); both engines clamp identically.
+    dens[dens < 1e-100] = 0.0
     return dens
 
 
@@ -49,7 +57,24 @@ def kde_per_group(
     Returns (group_key, x, density) — grid_points rows per group. The grid
     spans [min, max] of each group's values (matching what a per-class
     ``plot.kde`` renders); deterministic given the data.
+
+    Input contract (r6, shared with the DuckDB oracle twin): null or
+    non-finite values carry no density mass and are dropped BEFORE the
+    kernel (NaN would otherwise poison the grid bounds on the NumPy side
+    while DuckDB's min/max ignore NULL and sort NaN last — engine-dependent
+    garbage either way); a NULL group key renders no curve (its stringified
+    Python repr was an artifact, not a class).
     """
+    from pyspark.sql import functions as F
+
+    vc = F.col(value_col)
+    df = df.filter(
+        F.col(group_col).isNotNull()
+        & vc.isNotNull()
+        & ~F.isnan(vc.cast("double"))
+        & (vc.cast("double") != F.lit(float("inf")))
+        & (vc.cast("double") != F.lit(float("-inf")))
+    )
 
     def kde_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf[value_col].to_numpy(dtype="float64")

@@ -166,8 +166,16 @@ def q_sample_frac(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_kde_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """SURVEY §2 row 23 — per-group Gaussian KDE (utils.py:273-276).
-    Rows-only (no SQL twin for the kernel), but every row carries a
-    driver-visible self-check: ``mass_ok`` asserts the group's trapezoid-
+    EXACT-ORACLED as of late r6 (``_kde_oracle``): the whole kernel —
+    Scott's-rule bandwidth, the np.linspace grid (step*i + lo, endpoint
+    pinned), the Gaussian sum, the sub-1e-100 portability clamp, the
+    finite-values/non-null-group input contract, and the trapezoid mass
+    gate — is replicated in DuckDB SQL; agreement is floating-point-tight
+    because every scalar op is the same IEEE double op in both engines and
+    the 9-sig-digit canonicalization absorbs libm pow/exp ulp skew (the
+    subnormal exp range, where that skew is NOT relative, is clamped to
+    exact zero on both sides — stats._gaussian_kde_grid). Every row still
+    carries the driver-visible ``mass_ok`` self-check: the trapezoid-
     integrated density lands in [0.85, 1.001] — the grid spans [min, max]
     of the data, so a correct Gaussian KDE integrates to slightly under 1
     (tails truncated; measured 0.92 at sf0.01), while a broken kernel or
@@ -2719,6 +2727,75 @@ def _minhash_oracle(
     """
 
 
+def _kde_oracle() -> str:
+    """DuckDB twin of ``stats.kde_per_group`` on (events.event_type,
+    events.value) — the late-r6 conversion of the KDE key to an exact
+    oracle. Stage-by-stage parity with the NumPy kernel:
+
+    - input contract: non-null group, finite values only (both sides);
+    - bounds/bandwidth: count/stddev_samp/min/max per group; Scott's rule
+      h = sigma * n^(-1/5) — power() vs ** are the same libm pow, and any
+      ulp skew is absorbed by the 9-sig-digit canonicalization;
+    - grid: lo + i*((hi-lo)/63) with the endpoint PINNED to hi — the exact
+      arithmetic np.linspace performs (step rounded once, multiply, add),
+      so the x column matches bit-for-bit, including the degenerate
+      lo == hi -> hi = lo + 1 widening;
+    - density: sum(exp(-z^2/2))/(n*h*sqrt(2*pi)); zero for n < 2 or
+      degenerate sigma (stddev_samp of one row is NULL in both engines);
+      clamped to exact 0.0 below 1e-100 on both sides (subnormal exp
+      outputs differ across libms by whole subnormal ulps — see
+      stats._gaussian_kde_grid);
+    - mass_ok: the same trapezoid gate the Spark key computes, from the
+      same clamped densities.
+    """
+    return """
+        WITH vals AS (
+          SELECT CAST(event_type AS VARCHAR) AS g, CAST(value AS DOUBLE) AS v
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+            AND isfinite(CAST(value AS DOUBLE))),
+        stats AS (
+          SELECT g, count(*) AS n, stddev_samp(v) AS sigma,
+                 min(v) AS lo, max(v) AS hi
+          FROM vals GROUP BY g),
+        gridded AS (
+          SELECT g, n, sigma, lo,
+                 CASE WHEN hi = lo THEN lo + 1.0 ELSE hi END AS hi,
+                 unnest(generate_series(0, 63)) AS i
+          FROM stats),
+        gp AS (
+          SELECT g, n, sigma,
+                 CASE WHEN i = 63 THEN hi
+                      ELSE lo + i * ((hi - lo) / 63.0) END AS x
+          FROM gridded),
+        dens0 AS (
+          SELECT gp.g, gp.x,
+                 CASE WHEN gp.n < 2 OR gp.sigma = 0 OR gp.sigma IS NULL
+                           OR NOT isfinite(gp.sigma)
+                      THEN 0.0
+                      ELSE sum(exp(-0.5 * power((gp.x - v.v)
+                                   / (gp.sigma * power(gp.n, -0.2)), 2)))
+                           / (gp.n * gp.sigma * power(gp.n, -0.2)
+                              * sqrt(2 * pi()))
+                 END AS d
+          FROM gp JOIN vals v ON v.g = gp.g
+          GROUP BY gp.g, gp.x, gp.n, gp.sigma),
+        dens AS (
+          SELECT g, x, CASE WHEN d < 1e-100 THEN 0.0 ELSE d END AS density
+          FROM dens0),
+        mass AS (
+          SELECT g,
+                 ((max(x) - min(x)) / 63.0)
+                 * (sum(density)
+                    - (arg_min(density, x) + arg_max(density, x)) / 2.0)
+                 AS m
+          FROM dens GROUP BY g)
+        SELECT d.g AS group_key, d.x AS x, d.density AS density,
+               (m.m >= 0.85 AND m.m <= 1.001) AS mass_ok
+        FROM dens d JOIN mass m ON m.g = d.g
+    """
+
+
 _EN_STOP_PATTERN = r"\b(the|and|of|to|in|is)\b"
 
 
@@ -3971,10 +4048,11 @@ ORACLE_SQL: dict[str, str] = {
         name_a="id_new",
         name_b="id_corpus",
     ),
+    "kde_per_group": _kde_oracle(),
 }
 
 # Keys intentionally WITHOUT oracle SQL (driver records rows-only check):
-# sample_frac (seed semantics differ), kde_per_group (no SQL KDE),
+# sample_frac (seed semantics differ),
 # dedup_minhash / dedup_simhash / ngram_jaccard / ann_lsh (xxhash64-based
 # candidate generation has no DuckDB twin), pack_sequences (sequential
 # packing decision), ann_ivf / media_features (approximate / decode — but

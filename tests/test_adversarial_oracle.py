@@ -37,6 +37,9 @@ KEYS = [
     "dedup_incremental",
     "ngram_jaccard",
     "bigram_lm_score",
+    # late-r6 exact-oracle conversion; adversarial risk = null/NaN values,
+    # null group keys, single-row groups (sigma NULL), subnormal clamp
+    "kde_per_group",
     "json_extract",
     "null_handling",
     "ewma",
