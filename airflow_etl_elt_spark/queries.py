@@ -2727,6 +2727,42 @@ def _minhash_oracle(
     """
 
 
+def _minhash_verified_oracle() -> str:
+    """DuckDB twin of ``q_dedup_minhash_verified`` (late r6): the minhash
+    pair query (``_minhash_oracle`` embedded as a subquery — DuckDB allows
+    WITH inside a parenthesized FROM) joined against exact 5-gram Jaccard
+    sets, with the same est-vs-exact gate. Both jaccards are ratios of
+    small integers (k/64 and |∩|/|∪|) — bit-identical doubles in both
+    engines, so the ``<= 0.3`` boundary can never split them. Shingle
+    semantics replicate the pandas_udf exactly, including the degenerate
+    cases: a document shorter than 5 tokens contributes its single
+    all-tokens shingle, and a null/empty text contributes {''} (the join
+    of an empty token list) — so two empty docs verify at jaccard 1.0,
+    same as the Python set math."""
+    grams5 = """
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     generate_series(1, greatest(1, len(t2) - 4)),
+                     i -> coalesce(array_to_string(t2[i : i + 4], ' '), ''))) AS g
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                                                      '[ \\t\\n\\x0B\\f\\r]+'),
+                                   t -> t <> '') AS t2
+                FROM documents)"""
+    exact = (
+        "CASE WHEN len(list_distinct(ga.g || gb.g)) = 0 THEN 0.0 "
+        "ELSE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) "
+        "/ len(list_distinct(ga.g || gb.g)) END"
+    )
+    return f"""
+        SELECT mh.id_a, mh.id_b, mh.est_jaccard,
+               (abs(mh.est_jaccard - ({exact})) <= 0.3) AS est_close
+        FROM ( {_minhash_oracle()} ) mh
+        JOIN ( {grams5} ) ga ON mh.id_a = ga.doc_id
+        JOIN ( {grams5} ) gb ON mh.id_b = gb.doc_id
+    """
+
+
 def _kde_oracle() -> str:
     """DuckDB twin of ``stats.kde_per_group`` on (events.event_type,
     events.value) — the late-r6 conversion of the KDE key to an exact
@@ -4049,6 +4085,7 @@ ORACLE_SQL: dict[str, str] = {
         name_b="id_corpus",
     ),
     "kde_per_group": _kde_oracle(),
+    "dedup_minhash_verified": _minhash_verified_oracle(),
 }
 
 # Keys intentionally WITHOUT oracle SQL (driver records rows-only check):

@@ -107,6 +107,7 @@ ARROW_OK = {
     "grouped_stats",
     "kde_per_group",
     "dedup_minhash",
+    "dedup_minhash_verified",
     # dedup_incremental: the INCREMENT side pays the same signature UDF as
     # dedup_minhash (the corpus side reads persisted signatures — no UDF)
     "dedup_incremental",
