@@ -321,10 +321,17 @@ def minhash_incremental_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     seed: int = 42,
+    broadcast_increment: "bool | None" = None,
 ) -> DataFrame:
     """Near-dup pairs between an INCREMENT and a persisted corpus index
     (``minhash_index_write``): (id_new, id_corpus, est_jaccard),
     est_jaccard ≥ ``threshold``.
+
+    ``broadcast_increment``: None (default) gates on the Catalyst size
+    estimate of the increment projection; pass True/False to decide
+    explicitly — a streaming foreachBatch caller passes True because its
+    micro-batch frames carry no usable statistics yet are bounded by the
+    trigger size by construction.
 
     This is the scale path one-shot ``minhash_lsh_pairs`` cannot be: a
     daily increment against an already-deduped 100 TB corpus must not
@@ -352,7 +359,9 @@ def minhash_incremental_pairs(
         minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_k, seed),
     )
     small_increment = (
-        _plan_size_bytes(new_docs.select(id_col, text_col)) < SINGLE_TASK_BYTES
+        broadcast_increment
+        if broadcast_increment is not None
+        else _plan_size_bytes(new_docs.select(id_col, text_col)) < SINGLE_TASK_BYTES
     )
 
     new_banded = _banded_ids(new_sigs, bands, rows_per_band).select(

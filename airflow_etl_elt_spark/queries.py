@@ -472,6 +472,40 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of ``dedup_incremental`` (SAME SQL oracle): the
+    increment documents land as staged micro-batches (one file per
+    trigger) and each batch near-dup-checks against the persisted corpus
+    signature index inside foreachBatch
+    (``streaming.windowed.stream_incremental_dedup``). Every pair depends
+    only on (one new doc, the static index), so batch boundaries cannot
+    change the result — the accumulated stream output must hash-match the
+    one-shot batch key."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from airflow_etl_elt_spark.streaming import catalog, windowed
+
+    docs = read_table(spark, sf, "documents")
+    idx_dir = _minhash_index_dir(sf)
+    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        dedup.minhash_index_write(
+            docs.filter(F.col("doc_id") % 10 != 0), idx_dir
+        )
+    staged = catalog.stage_document_drops(spark, sf)
+    out_dir = tempfile.mkdtemp(prefix="sg_sdi_out_")
+    ckpt = tempfile.mkdtemp(prefix="sg_sdi_ckpt_")
+    windowed.stream_incremental_dedup(
+        catalog.read_doc_drops(spark, staged), idx_dir, out_dir, ckpt,
+        threshold=0.4,
+    )
+    schema = "id_new bigint, id_corpus bigint, est_jaccard double"
+    if not _glob.glob(os.path.join(out_dir, "batch_id=*")):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(os.path.join(out_dir, "batch_id=*"))
+
+
 def q_dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash LSH pairs with a driver-visible self-check: ``est_close``
     asserts the 64-hash agreement estimate landed within 0.3 (≈4.8σ at 64
@@ -2400,6 +2434,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- NEW in r6: incremental dedup vs persisted index; streaming + txn
     # tiers, driver-hash-checked ---
     "dedup_incremental": q_dedup_incremental,
+    "stream_dedup_incremental": q_stream_dedup_incremental,
     "txn_change_feed": q_txn_change_feed,
     "txn_merge_upsert": q_txn_merge_upsert,
     "stream_interval_join": q_stream_interval_join,
@@ -4086,6 +4121,14 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "kde_per_group": _kde_oracle(),
     "dedup_minhash_verified": _minhash_verified_oracle(),
+    # the streaming twin is result-identical to the batch key by
+    # construction (pairs depend only on (new doc, static index)), so it
+    # shares the exact same sketch-replicating oracle
+    "stream_dedup_incremental": _minhash_oracle(
+        pair_clause="a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0",
+        name_a="id_new",
+        name_b="id_corpus",
+    ),
 }
 
 # Keys intentionally WITHOUT oracle SQL (driver records rows-only check):

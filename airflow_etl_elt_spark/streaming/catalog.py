@@ -48,12 +48,13 @@ _EVENT_SCHEMA = (
 )
 
 
-def _stage_dir(sf_dir: str, variant: str) -> str:
+def _stage_dir(sf_dir: str, variant: str, src_table: str = "events") -> str:
     """Cache key includes the SOURCE FILE identity (size + mtime of every
-    file under events.parquet), not just the path: the driver regenerates
-    fixtures between rounds, and a path-keyed cache surviving in /tmp
-    would silently serve last round's rows against this round's oracle."""
-    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    file under the staged table's parquet), not just the path: the driver
+    regenerates fixtures between rounds, and a path-keyed cache surviving
+    in /tmp would silently serve last round's rows against this round's
+    oracle."""
+    src = os.path.join(os.path.abspath(sf_dir), f"{src_table}.parquet")
     ident = [src]
     if os.path.isfile(src):
         st = os.stat(src)
@@ -188,6 +189,71 @@ def read_drops(spark: SparkSession, staged: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return (
         spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+
+
+_DOC_SCHEMA = "doc_id bigint, text string"
+
+
+def stage_document_drops(spark: SparkSession, sf_dir: str, n_drops: int = 4) -> str:
+    """Split the INCREMENT documents (doc_id % 10 == 0 — the same split the
+    batch ``dedup_incremental`` key carves) into ``n_drops`` doc_id-ordered
+    parquet files: the landing directory of a corpus-ingest stream.
+    Deterministic (global doc_id order, ntile ranges), identity-keyed and
+    cached on disk like the event drops."""
+    out = _stage_dir(sf_dir, f"docs|{n_drops}", src_table="documents")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .withColumn("__drop", F.ntile(n_drops).over(Window.orderBy("doc_id")))
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    pdf_all = docs.orderBy("__drop", "doc_id").toPandas()
+    n_files = 0
+    for k in range(1, n_drops + 1):
+        part = pdf_all[pdf_all["__drop"] == k].drop(columns="__drop")
+        if not len(part):
+            continue
+        path = os.path.join(tmp, f"drop_{k:03d}.parquet")
+        # explicit schema: a drop whose texts are ALL null would otherwise
+        # let pyarrow infer a non-string type and break the stream reader
+        pq.write_table(
+            pa.Table.from_pandas(
+                part,
+                schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+                preserve_index=False,
+            ),
+            path,
+        )
+        n_files += 1
+        os.utime(path, (1_000_000 + k, 1_000_000 + k))  # file-source order
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write(f"{n_files}\n")
+    os.makedirs(_STAGE_ROOT, exist_ok=True)
+    try:
+        os.rename(tmp, out)  # atomic publish; loser of a race cleans up
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def read_doc_drops(spark: SparkSession, staged: str) -> DataFrame:
+    """File-source stream over staged document drops, one file per
+    micro-batch — each trigger delivers one corpus increment."""
+    return (
+        spark.readStream.schema(_DOC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
     )

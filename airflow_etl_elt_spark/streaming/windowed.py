@@ -223,3 +223,53 @@ def stream_asof_enrich(
         .start()
         .awaitTermination()
     )
+
+
+def stream_incremental_dedup(
+    stream_docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.4,
+) -> None:
+    """Continuous-ingest near-dup dedup: each micro-batch of newly landed
+    documents is checked against the PERSISTED corpus signature index —
+    the streaming twin of ``dedup.minhash_incremental_pairs`` and the shape
+    a 100 TB corpus actually runs (the index is static within the run,
+    refreshed out-of-band by appending accepted increments; each arriving
+    increment pays only its own signature UDF plus map-side passes over
+    the index).
+
+    Every pair depends only on (one new doc, the static index), so
+    micro-batch boundaries CANNOT change the result: the accumulated
+    output equals the one-shot batch operator's exactly, which is why the
+    catalog key shares ``dedup_incremental``'s SQL oracle. The increment
+    side is explicitly broadcast (micro-batch frames carry no Catalyst
+    statistics but are bounded by the trigger size by construction).
+
+    Effectively-once: same overwrite-own-batch-directory recipe as
+    ``stream_asof_enrich`` above — a replayed batch rewrites identical
+    content."""
+    import os as _os
+
+    from airflow_etl_elt_spark.operators.dedup import minhash_incremental_pairs
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = minhash_incremental_pairs(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            threshold=threshold,
+            broadcast_increment=True,
+        )
+        out.write.mode("overwrite").parquet(
+            _os.path.join(out_path, f"batch_id={batch_id}")
+        )
+
+    (
+        stream_docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -35,6 +35,7 @@ KEYS = [
     # r6 incremental-index variant shares the sketch; its extra risk is the
     # persisted-signature round-trip + cross-subset candidate join
     "dedup_incremental",
+    "stream_dedup_incremental",
     "dedup_minhash_verified",
     "ngram_jaccard",
     "bigram_lm_score",

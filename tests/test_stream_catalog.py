@@ -91,3 +91,29 @@ def test_run_bounded_rejects_nothing_but_memory_recovers(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_stream_incremental_dedup_matches_batch_key(spark):
+    """Micro-batch boundaries must not change the incremental dedup result:
+    the streaming twin (4 staged document drops through foreachBatch
+    against the persisted index) hash-equals the one-shot batch key. Also
+    proves the document staging is cached: a second staging call returns
+    the same directory without rewriting."""
+    import os
+
+    from airflow_etl_elt_spark.queries import QUERIES
+
+    staged = catalog.stage_document_drops(spark, SF_SMOKE)
+    mt = os.path.getmtime(os.path.join(staged, "_SUCCESS"))
+    assert catalog.stage_document_drops(spark, SF_SMOKE) == staged
+    assert os.path.getmtime(os.path.join(staged, "_SUCCESS")) == mt
+
+    stream_rows = sorted(
+        (r["id_new"], r["id_corpus"], round(r["est_jaccard"], 9))
+        for r in QUERIES["stream_dedup_incremental"](spark, SF_SMOKE).collect()
+    )
+    batch_rows = sorted(
+        (r["id_new"], r["id_corpus"], round(r["est_jaccard"], 9))
+        for r in QUERIES["dedup_incremental"](spark, SF_SMOKE).collect()
+    )
+    assert stream_rows == batch_rows and stream_rows
