@@ -445,6 +445,31 @@ def _minhash_index_dir(sf: str) -> str:
     return os.path.join(tempfile.gettempdir(), "spark_graft_minhash_idx", key)
 
 
+def _ensure_minhash_index(spark: SparkSession, sf: str) -> str:
+    """Build (once per fixture identity) the corpus-side signature index and
+    return its directory. ATOMIC publish: the index is written to a
+    tmp-suffixed sibling and os.rename'd into place, so a concurrent first
+    caller can never observe (or corrupt) a half-written index — the same
+    recipe as the streaming stage cache; the loser of a publish race
+    discards its copy."""
+    import os
+    import shutil
+    import uuid
+
+    idx_dir = _minhash_index_dir(sf)
+    if os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        return idx_dir
+    corpus = read_table(spark, sf, "documents").filter(F.col("doc_id") % 10 != 0)
+    tmp = idx_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+    dedup.minhash_index_write(corpus, tmp)
+    os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
+    try:
+        os.rename(tmp, idx_dir)
+    except OSError:  # another caller published first; keep theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+    return idx_dir
+
+
 def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental near-dup detection against a PERSISTED corpus signature
     index — the continuous-ingest shape ``dedup_minhash`` cannot be: a
@@ -456,14 +481,8 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     map-side pass over the index, zero index shuffle). ORACLE-CHECKED: the
     same SQL sketch twin as ``dedup_minhash`` with the candidate join
     crossed between the two subsets."""
-    import os
-
     docs = read_table(spark, sf, "documents")
-    idx_dir = _minhash_index_dir(sf)
-    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
-        dedup.minhash_index_write(
-            docs.filter(F.col("doc_id") % 10 != 0), idx_dir
-        )
+    idx_dir = _ensure_minhash_index(spark, sf)
     return dedup.minhash_incremental_pairs(
         spark,
         idx_dir,
@@ -487,12 +506,7 @@ def q_stream_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
     from airflow_etl_elt_spark.streaming import catalog, windowed
 
-    docs = read_table(spark, sf, "documents")
-    idx_dir = _minhash_index_dir(sf)
-    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
-        dedup.minhash_index_write(
-            docs.filter(F.col("doc_id") % 10 != 0), idx_dir
-        )
+    idx_dir = _ensure_minhash_index(spark, sf)
     staged = catalog.stage_document_drops(spark, sf)
     out_dir = tempfile.mkdtemp(prefix="sg_sdi_out_")
     ckpt = tempfile.mkdtemp(prefix="sg_sdi_ckpt_")
