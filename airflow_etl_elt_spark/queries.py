@@ -4245,7 +4245,7 @@ ORACLE_SQL["stream_scd2_closed"] = """
 # strict > on the gap)
 ORACLE_SQL["stream_sessionize"] = """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL THEN 1
                   WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
                        > 1800000000 THEN 1
@@ -4254,7 +4254,13 @@ ORACLE_SQL["stream_sessionize"] = """
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     numbered AS (
       SELECT user_id, ts,
-             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             -- the cum-sum MUST use the same total order as the lag window:
+             -- ordering by ts alone is nondeterministic under duplicate
+             -- (user_id, ts) rows — the 10x-replica sweep caught exactly
+             -- that (a later-ordered new_session row let same-ts twins sum
+             -- into the PREVIOUS session)
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING) AS INT)
                AS session_id
       FROM flagged)

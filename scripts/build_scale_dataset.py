@@ -91,8 +91,26 @@ def main() -> None:
         f"{out}/documents.parquet",
         "doc_id",
     )
+    # Perturb one component per replica (same reason texts are salted): an
+    # unperturbed copy makes every vector exist `replicas` times EXACTLY, so
+    # cosine ties at 1.0 between distinct pairs are decided by last-ulp
+    # engine arithmetic — the 10x oracle sweep caught label_pairs_topk
+    # flipping rank membership on exactly that — and exact duplicates also
+    # distort ANN recall measurements. A per-replica nudge of dimension 0
+    # keeps the distribution realistic while breaking exact duplication.
     write_fact(
-        shift(read_table(spark, src, "embeddings"), "vec_id").drop("__r"),
+        shift(read_table(spark, src, "embeddings"), "vec_id")
+        .withColumn(
+            "embedding",
+            F.concat(
+                F.array(
+                    (F.element_at("embedding", 1) + F.col("__r") * F.lit(1e-3))
+                    .cast("float")
+                ),
+                F.slice("embedding", 2, 10_000),
+            ),
+        )
+        .drop("__r"),
         f"{out}/embeddings.parquet",
         "vec_id",
     )

@@ -43,7 +43,13 @@ def main() -> int:
     spark = get_session(app_name="sweep")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        p = f"{sf}/{t}.parquet"
+        # Spark-written tables (the scale replicas) are DIRECTORIES of part
+        # files; the driver fixtures are single files. Same handling as
+        # bench.py's oracle setup.
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     failures = []
     for key in QUERIES:
