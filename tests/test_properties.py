@@ -451,3 +451,55 @@ def test_exact_median_histogram_edge_shapes(spark, monkeypatch):
     assert got.keys() == exp.keys()
     for k, want in exp.items():
         assert abs(got[k] - want) < 1e-15 or (math.isnan(got[k]) and math.isnan(want)), (k, got[k])
+
+
+# text corpora for the incremental-dedup invariant: small vocab + repeated
+# phrases maximizes real near-dup pairs; empty/whitespace/None texts exercise
+# the signature pass's null contract
+_words = st.sampled_from(["the", "cat", "sat", "on", "a", "mat", "dog", "ran"])
+_texts = st.one_of(
+    st.none(),
+    st.just("   "),
+    st.lists(_words, min_size=0, max_size=12).map(" ".join),
+)
+_corpora = st.lists(_texts, min_size=0, max_size=14)
+
+
+@given(texts=_corpora)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_incremental_dedup_equals_one_shot_cross_pairs(spark, tmp_path_factory, texts):
+    """For ANY corpus: splitting it into corpus/increment, persisting the
+    corpus signatures, and joining the increment against the index must find
+    exactly the one-shot operator's pairs that cross the split — same
+    sketch, same banding, same verify, different pairing discipline."""
+    from airflow_etl_elt_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_index_write,
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = (
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+        if rows
+        else spark.createDataFrame([], "doc_id bigint, text string")
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = str(tmp_path_factory.mktemp("idx") / "sigs")
+    minhash_index_write(corpus, idx)
+    got = sorted(
+        (r["id_new"], r["id_corpus"], round(r["est_jaccard"], 9))
+        for r in minhash_incremental_pairs(spark, idx, new, threshold=0.0).collect()
+    )
+    want = sorted(
+        ((a, b) if a % 3 == 0 else (b, a)) + (round(j, 9),)
+        for a, b, j in (
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in minhash_lsh_pairs(docs, threshold=0.0).collect()
+        )
+        if (a % 3 == 0) != (b % 3 == 0)
+    )
+    assert got == want
