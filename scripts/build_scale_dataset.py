@@ -7,9 +7,13 @@ Usage:
 
 Join keys are shifted per replica so key cardinality scales with volume
 (a pure row-copy would skew every key Nx and measure the wrong thing);
-document texts are salted per replica so near-dup structure stays constant
-instead of exploding quadratically in N. Dimension tables are copied as-is —
-at any fact scale they stay dimension-sized.
+document texts are salted and embeddings perturbed per replica so exact
+duplication doesn't distort dedup/ANN measurements. events.user_id is
+deliberately NOT shifted: users get Nx busier rather than Nx more numerous,
+which keeps the window/sessionize keys on their HARD shape (fat groups —
+the single-task-spill regime the ranking rewrites exist for) and creates
+duplicate (user_id, ts) rows — the tie shape that exposed the
+stream_sessionize oracle's ordering bug (SCALING r6 addendum 5).
 
 Fact tables are written in the at-rest layout a production deployment uses:
 several files x ~8 MB row groups, so BOTH engines' scans parallelize (r6).

@@ -180,6 +180,29 @@ def test_minhash_incremental_matches_one_shot_cross_pairs(spark, tmp_path):
     assert got == want
 
 
+def test_minhash_index_append_grows_the_corpus(spark, tmp_path):
+    """The continuous-ingest loop: dedup an increment, APPEND its signatures
+    (mode='append'), and the next increment's pairs against the grown index
+    must equal a fresh index built over corpus ∪ increment-1 — signatures
+    are order-independent rows, so append == rebuild."""
+    docs = read_table(spark, SF_CORRECT, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 > 1)
+    inc1 = docs.filter(F.col("doc_id") % 10 == 0)
+    inc2 = docs.filter(F.col("doc_id") % 10 == 1)
+    grown = str(tmp_path / "grown")
+    dedup.minhash_index_write(corpus, grown)
+    dedup.minhash_index_write(inc1, grown, mode="append")
+    rebuilt = str(tmp_path / "rebuilt")
+    dedup.minhash_index_write(docs.filter(F.col("doc_id") % 10 != 1), rebuilt)
+    via_grown = sorted(
+        map(tuple, dedup.minhash_incremental_pairs(spark, grown, inc2, threshold=0.0).collect())
+    )
+    via_rebuilt = sorted(
+        map(tuple, dedup.minhash_incremental_pairs(spark, rebuilt, inc2, threshold=0.0).collect())
+    )
+    assert via_grown == via_rebuilt and via_grown
+
+
 def test_simhash_banding_is_exact(spark, doc_rows):
     docs = read_table(spark, SF_CORRECT, "documents")
     sk = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
