@@ -343,9 +343,12 @@ def minhash_incremental_pairs(
       banded frame is BROADCAST, so candidate generation is one map-side
       pass over the index with zero index shuffle;
     - the verify join re-reads only the surviving candidates' signatures:
-      the (pairs ⋈ increment-sigs) frame is broadcast into one more
-      map-side pass over the index. Above the broadcast gate both joins
-      fall back to the planner's distributed shape — correct at any size.
+      the increment's signature frame broadcasts (bounded by the
+      increment), while the pairs ⋈ corpus-sigs join stays
+      planner-decided — pair cardinality scales with corpus band matches,
+      not increment bytes, so pairs are never broadcast (AQE upgrades the
+      join at runtime when they turn out small). Above the gate every
+      join keeps the distributed shape — correct at any size.
 
     Same sketch parameters must be passed as at index-build time (the
     signature function is deterministic in them)."""
@@ -378,10 +381,19 @@ def minhash_incremental_pairs(
         .dropDuplicates(["id_new", "id_corpus"])
     )
 
+    # Verify: join pairs back to both sides' signatures. ONLY the
+    # increment-side signature frame broadcasts (bounded by the increment
+    # by construction); the pairs frame does NOT — its cardinality scales
+    # with corpus band matches, not increment bytes (a boilerplate-heavy
+    # increment can band-collide with millions of corpus docs), so
+    # broadcasting it would collect an unbounded frame to the driver in
+    # exactly the skewed-near-dup scenario dedup exists for (r6 review).
+    # The pairs ⋈ corpus-sigs join stays planner-decided; AQE upgrades it
+    # from accurate runtime sizes when pairs turn out small.
     sig_n = new_sigs.select(F.col("id").alias("id_new"), F.col("sig").alias("sig_a"))
-    pj = pairs.join(sig_n, "id_new")
     if small_increment:
-        pj = F.broadcast(pj)
+        sig_n = F.broadcast(sig_n)
+    pj = pairs.join(sig_n, "id_new")
     sig_c = idx.select(F.col("id").alias("id_corpus"), F.col("sig").alias("sig_b"))
     agree = F.size(
         F.filter(

@@ -29,7 +29,16 @@ def _gaussian_kde_grid(values: np.ndarray, grid: np.ndarray) -> np.ndarray:
     """
     n = len(values)
     sigma = values.std(ddof=1)
-    if n < 2 or sigma == 0 or not np.isfinite(sigma):
+    # Degenerate test is SCALE-RELATIVE, not sigma == 0 (r6 review finding):
+    # numpy's pairwise-sum std of N identical values is a tiny NONZERO
+    # (std([0.1]*3, ddof=1) = 1.7e-17 — the mean rounds, deviations don't)
+    # while DuckDB's stddev_samp of the same rows is exactly 0.0; a strict
+    # zero test would emit a ~1e16 density spike against the oracle's
+    # all-zeros. Anything below 1e-12 of the value scale is rounding noise,
+    # not spread — both engines' sigmas agree to ~1e-15 of the scale, so
+    # they land on the same side of the threshold.
+    scale = max(abs(float(values.min())), abs(float(values.max())), 1.0)
+    if n < 2 or not np.isfinite(sigma) or sigma <= 1e-12 * scale:
         return np.zeros(len(grid))
     h = sigma * n ** (-1.0 / 5.0)
     z = (grid[:, None] - values[None, :]) / h

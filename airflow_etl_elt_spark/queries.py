@@ -420,27 +420,18 @@ _MINHASH_IDX_VERSION = "v1"
 
 
 def _minhash_index_dir(sf: str) -> str:
-    """Identity-keyed cache dir for the persisted corpus signature index
-    (same size+mtime keying as streaming.catalog._stage_dir: the driver
-    regenerates fixtures between rounds, and a path-keyed cache surviving
-    in /tmp would serve last round's signatures against this round's
-    oracle)."""
-    import glob
+    """Identity-keyed cache dir for the persisted corpus signature index —
+    the SAME size+mtime identity derivation as the streaming drop stagers
+    (one implementation, streaming.catalog.source_identity, so a future
+    identity-scheme fix invalidates every derived /tmp cache at once)."""
     import hashlib
     import os
     import tempfile
 
-    src = os.path.join(os.path.abspath(sf), "documents.parquet")
-    ident = [src]
-    if os.path.isfile(src):
-        st = os.stat(src)
-        ident.append(f"{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.isdir(src):
-        for f in sorted(glob.glob(os.path.join(src, "*"))):
-            st = os.stat(f)
-            ident.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    from airflow_etl_elt_spark.streaming.catalog import source_identity
+
     key = hashlib.md5(
-        f"{_MINHASH_IDX_VERSION}|{'|'.join(ident)}".encode()
+        f"{_MINHASH_IDX_VERSION}|{source_identity(sf, 'documents')}".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), "spark_graft_minhash_idx", key)
 
@@ -2818,6 +2809,10 @@ def _kde_oracle() -> str:
     oracle. Stage-by-stage parity with the NumPy kernel:
 
     - input contract: non-null group, finite values only (both sides);
+    - thinning: the operator's max_group_rows cap (np.sort(vals)[::k]) is
+      replicated as a row_number stride — position-selected values of an
+      ascending sort are a tie-independent multiset, so both engines thin
+      to the same values for groups past the cap;
     - bounds/bandwidth: count/stddev_samp/min/max per group; Scott's rule
       h = sigma * n^(-1/5) — power() vs ** are the same libm pow, and any
       ulp skew is absorbed by the 9-sig-digit canonicalization;
@@ -2834,29 +2829,48 @@ def _kde_oracle() -> str:
       same clamped densities.
     """
     return """
-        WITH vals AS (
+        WITH vals0 AS (
           SELECT CAST(event_type AS VARCHAR) AS g, CAST(value AS DOUBLE) AS v
           FROM events
           WHERE event_type IS NOT NULL AND value IS NOT NULL
             AND isfinite(CAST(value AS DOUBLE))),
+        -- deterministic per-group thinning, replicating the operator's
+        -- max_group_rows cap: np.sort(vals)[::k] keeps ascending positions
+        -- 0, k, 2k, ... (the selected VALUE multiset is tie-independent)
+        ranked AS (
+          SELECT g, v,
+                 row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                 count(*) OVER (PARTITION BY g) AS n0
+          FROM vals0),
+        vals AS (
+          SELECT g, v FROM ranked
+          WHERE ((rn - 1) % greatest(1, n0 // 1000000)) = 0),
         stats AS (
           SELECT g, count(*) AS n, stddev_samp(v) AS sigma,
                  min(v) AS lo, max(v) AS hi
           FROM vals GROUP BY g),
         gridded AS (
-          SELECT g, n, sigma, lo,
+          SELECT g, n, sigma, lo, hi AS rawhi,
                  CASE WHEN hi = lo THEN lo + 1.0 ELSE hi END AS hi,
                  unnest(generate_series(0, 63)) AS i
           FROM stats),
         gp AS (
-          SELECT g, n, sigma,
+          SELECT g, n, sigma, lo, rawhi, i,
                  CASE WHEN i = 63 THEN hi
                       ELSE lo + i * ((hi - lo) / 63.0) END AS x
           FROM gridded),
+        -- grouped by i, not x: a tight-range/large-magnitude group can make
+        -- consecutive grid points round to the SAME double, and grouping by
+        -- x would merge their rows (k-fold density) while the operator
+        -- always emits 64 rows. Degenerate sigma is SCALE-relative, like
+        -- the NumPy side (stats._gaussian_kde_grid): stddev_samp of N
+        -- identical values is exactly 0 in DuckDB but ~1e-17 in numpy.
         dens0 AS (
-          SELECT gp.g, gp.x,
-                 CASE WHEN gp.n < 2 OR gp.sigma = 0 OR gp.sigma IS NULL
+          SELECT gp.g, gp.i, gp.x,
+                 CASE WHEN gp.n < 2 OR gp.sigma IS NULL
                            OR NOT isfinite(gp.sigma)
+                           OR gp.sigma <= 1e-12 * greatest(abs(gp.lo),
+                                                           abs(gp.rawhi), 1.0)
                       THEN 0.0
                       ELSE sum(exp(-0.5 * power((gp.x - v.v)
                                    / (gp.sigma * power(gp.n, -0.2)), 2)))
@@ -2864,7 +2878,7 @@ def _kde_oracle() -> str:
                               * sqrt(2 * pi()))
                  END AS d
           FROM gp JOIN vals v ON v.g = gp.g
-          GROUP BY gp.g, gp.x, gp.n, gp.sigma),
+          GROUP BY gp.g, gp.i, gp.x, gp.n, gp.sigma, gp.lo, gp.rawhi),
         dens AS (
           SELECT g, x, CASE WHEN d < 1e-100 THEN 0.0 ELSE d END AS density
           FROM dens0),
@@ -4146,11 +4160,13 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 # Keys intentionally WITHOUT oracle SQL (driver records rows-only check):
-# sample_frac (seed semantics differ),
-# dedup_minhash / dedup_simhash / ngram_jaccard / ann_lsh (xxhash64-based
-# candidate generation has no DuckDB twin), pack_sequences (sequential
-# packing decision), ann_ivf / media_features (approximate / decode — but
-# both expose driver-visible self-check columns: in_exact_top50, dims_match).
+# sample_frac (seed semantics differ), ann_lsh (xxhash64 bucket probing has
+# no DuckDB twin), bpe_merges (iterative argmax merges), pack_sequences
+# (packing follows sampled range-partition boundaries), ann_ivf /
+# media_features (approximate / decode — but both expose driver-visible
+# self-check columns: in_exact_top50, dims_match). Everything else is
+# oracled — incl. dedup_minhash/dedup_simhash/ngram_jaccard (r3/r5 sketch
+# twins) and kde_per_group/dedup_minhash_verified (late r6).
 # The sketch keys (approx_quantiles, approx_distinct_users) are NOT here:
 # they hash-check by emitting the exact value plus an approx-within-ε gate.
 # Composed end-to-end key: the bigram-LM oracle wrapped with the quality

@@ -48,12 +48,14 @@ _EVENT_SCHEMA = (
 )
 
 
-def _stage_dir(sf_dir: str, variant: str, src_table: str = "events") -> str:
-    """Cache key includes the SOURCE FILE identity (size + mtime of every
-    file under the staged table's parquet), not just the path: the driver
-    regenerates fixtures between rounds, and a path-keyed cache surviving
-    in /tmp would silently serve last round's rows against this round's
-    oracle."""
+def source_identity(sf_dir: str, src_table: str) -> str:
+    """SOURCE FILE identity string (path + size + mtime of every file under
+    the table's parquet) for /tmp cache keying — shared by the drop stagers
+    here and the minhash index cache (queries._minhash_index_dir): the
+    driver regenerates fixtures between rounds, and a path-keyed cache
+    surviving in /tmp would silently serve last round's rows against this
+    round's oracle. ONE implementation so a future identity-scheme fix
+    invalidates every derived cache at once (r6 review)."""
     src = os.path.join(os.path.abspath(sf_dir), f"{src_table}.parquet")
     ident = [src]
     if os.path.isfile(src):
@@ -63,10 +65,36 @@ def _stage_dir(sf_dir: str, variant: str, src_table: str = "events") -> str:
         for f in sorted(glob.glob(os.path.join(src, "*"))):
             st = os.stat(f)
             ident.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(ident)
+
+
+def _stage_dir(sf_dir: str, variant: str, src_table: str = "events") -> str:
     key = hashlib.md5(
-        f"{_STAGE_VERSION}|{'|'.join(ident)}|{variant}".encode()
+        f"{_STAGE_VERSION}|{source_identity(sf_dir, src_table)}|{variant}".encode()
     ).hexdigest()[:16]
     return os.path.join(_STAGE_ROOT, key)
+
+
+def _publish_staged(out: str, write_files) -> str:
+    """Shared atomic-publish protocol for every drop stager: write into a
+    tmp-suffixed sibling via ``write_files(tmp) -> n_files``, stamp
+    _SUCCESS, os.rename into place. The loser of a concurrent-publish race
+    discards its copy; a rename failure with NO published winner (e.g.
+    EXDEV from a cross-device /tmp) re-raises instead of silently
+    returning a nonexistent directory (r6 review)."""
+    tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    n_files = write_files(tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write(f"{n_files}\n")
+    os.makedirs(_STAGE_ROOT, exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            raise
+    return out
 
 
 def stage_event_drops(
@@ -120,63 +148,56 @@ def stage_event_drops(
         )
         ev = ev.unionByName(dups).unionByName(cross)
 
-    tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp, exist_ok=True)
     pdf_all = ev.orderBy("__drop", "ts", "event_id").toPandas()
     max_ts = pdf_all["ts"].max()
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    n_files = 0
-    for k in range(1, n_drops + 1):
-        part = pdf_all[pdf_all["__drop"] == k].drop(columns="__drop")
-        if not len(part):
-            continue
-        path = os.path.join(tmp, f"drop_{k:03d}.parquet")
-        pq.write_table(
-            pa.Table.from_pandas(part, preserve_index=False),
-            path,
-            coerce_timestamps="us",
-            allow_truncated_timestamps=True,
-        )
-        n_files += 1
-        os.utime(path, (1_000_000 + k, 1_000_000 + k))  # file-source order
+    def _write(tmp: str) -> int:
+        n_files = 0
+        for k in range(1, n_drops + 1):
+            part = pdf_all[pdf_all["__drop"] == k].drop(columns="__drop")
+            if not len(part):
+                continue
+            path = os.path.join(tmp, f"drop_{k:03d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False),
+                path,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+            n_files += 1
+            os.utime(path, (1_000_000 + k, 1_000_000 + k))  # file-source order
 
-    if variant == "asof":
-        import pandas as pd
+        if variant == "asof":
+            import pandas as pd
 
-        sentinel_ts = (max_ts or pd.Timestamp("2000-01-01")) + pd.Timedelta(
-            days=30
-        )
-        sent = pd.DataFrame(
-            {
-                "event_id": [-1, -2],
-                "ts": [sentinel_ts, sentinel_ts],
-                "user_id": [-1, -1],
-                "event_type": ["click", "purchase"],
-                "value": [0.0, 0.0],
-                "props": [None, None],
-            }
-        )
-        path = os.path.join(tmp, f"drop_{n_drops + 1:03d}.parquet")
-        pq.write_table(
-            pa.Table.from_pandas(sent, preserve_index=False),
-            path,
-            coerce_timestamps="us",
-            allow_truncated_timestamps=True,
-        )
-        n_files += 1
-        os.utime(path, (1_000_000 + n_drops + 1,) * 2)
+            sentinel_ts = (max_ts or pd.Timestamp("2000-01-01")) + pd.Timedelta(
+                days=30
+            )
+            sent = pd.DataFrame(
+                {
+                    "event_id": [-1, -2],
+                    "ts": [sentinel_ts, sentinel_ts],
+                    "user_id": [-1, -1],
+                    "event_type": ["click", "purchase"],
+                    "value": [0.0, 0.0],
+                    "props": [None, None],
+                }
+            )
+            path = os.path.join(tmp, f"drop_{n_drops + 1:03d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(sent, preserve_index=False),
+                path,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+            n_files += 1
+            os.utime(path, (1_000_000 + n_drops + 1,) * 2)
+        return n_files
 
-    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
-        fh.write(f"{n_files}\n")
-    os.makedirs(_STAGE_ROOT, exist_ok=True)
-    try:
-        os.rename(tmp, out)  # atomic publish; loser of a race cleans up
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return _publish_staged(out, _write)
 
 
 def read_drops(spark: SparkSession, staged: str) -> DataFrame:
@@ -218,35 +239,33 @@ def stage_document_drops(spark: SparkSession, sf_dir: str, n_drops: int = 4) -> 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp, exist_ok=True)
     pdf_all = docs.orderBy("__drop", "doc_id").toPandas()
-    n_files = 0
-    for k in range(1, n_drops + 1):
-        part = pdf_all[pdf_all["__drop"] == k].drop(columns="__drop")
-        if not len(part):
-            continue
-        path = os.path.join(tmp, f"drop_{k:03d}.parquet")
-        # explicit schema: a drop whose texts are ALL null would otherwise
-        # let pyarrow infer a non-string type and break the stream reader
-        pq.write_table(
-            pa.Table.from_pandas(
-                part,
-                schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
-                preserve_index=False,
-            ),
-            path,
-        )
-        n_files += 1
-        os.utime(path, (1_000_000 + k, 1_000_000 + k))  # file-source order
-    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
-        fh.write(f"{n_files}\n")
-    os.makedirs(_STAGE_ROOT, exist_ok=True)
-    try:
-        os.rename(tmp, out)  # atomic publish; loser of a race cleans up
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+
+    def _write(tmp: str) -> int:
+        n_files = 0
+        for k in range(1, n_drops + 1):
+            part = pdf_all[pdf_all["__drop"] == k].drop(columns="__drop")
+            if not len(part):
+                continue
+            path = os.path.join(tmp, f"drop_{k:03d}.parquet")
+            # explicit schema: a drop whose texts are ALL null would
+            # otherwise let pyarrow infer a non-string type and break the
+            # stream reader
+            pq.write_table(
+                pa.Table.from_pandas(
+                    part,
+                    schema=pa.schema(
+                        [("doc_id", pa.int64()), ("text", pa.string())]
+                    ),
+                    preserve_index=False,
+                ),
+                path,
+            )
+            n_files += 1
+            os.utime(path, (1_000_000 + k, 1_000_000 + k))  # file-source order
+        return n_files
+
+    return _publish_staged(out, _write)
 
 
 def read_doc_drops(spark: SparkSession, staged: str) -> DataFrame:
