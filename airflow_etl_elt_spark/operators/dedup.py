@@ -37,6 +37,10 @@ from pyspark.sql.functions import pandas_udf
 
 from airflow_etl_elt_spark.sources.readers import fan_out
 
+# Measurement hook: force the minhash verify-join broadcast gate on (True) /
+# off (False) for interleaved A/Bs; None = the size gate decides (production).
+_FORCE_VERIFY_BROADCAST: "bool | None" = None
+
 # Mersenne prime 2^31-1: universal-hash modulus (h_i(x) = (a_i*x + b_i) mod p).
 # Chosen < 2^31 so (h mod p) * a stays under 2^62 — Spark 4 runs ANSI mode by
 # default and raises on int64 overflow rather than wrapping.
@@ -469,6 +473,8 @@ def minhash_lsh_pairs(
         _plan_size_bytes(documents.select(id_col, text_col))
         < SINGLE_TASK_BYTES
     )
+    if _FORCE_VERIFY_BROADCAST is not None:  # A/B measurement hook only
+        small_input = _FORCE_VERIFY_BROADCAST
 
     # Bucket = (band_id, band_sig). Pair expansion inside each bucket.
     left = banded.select("band_id", "band_sig", F.col("id").alias("id_a"))
