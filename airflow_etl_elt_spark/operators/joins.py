@@ -65,25 +65,47 @@ def revenue_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
-def revenue_by_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+def revenue_by_priority(
+    lineitem: DataFrame, orders: DataFrame, colocated: bool = False
+) -> DataFrame:
     """Fact-fact join on orderkey, rolled up to order priority.
 
-    Cost-based build-side strategy (same Catalyst statistic the optimizer
-    uses for broadcasts): when the pruned orders side is provably small,
-    hint SHUFFLE_HASH — the hash build beats both sort-merge (no sort) and
-    broadcast (no driver serialization of 100k+ rows; measured 0.49 s vs
-    0.71 s default at sf0.1). Above the threshold leave the planner alone:
-    per-partition hash builds of an unbounded fact side can exhaust reducer
-    memory, so sort-merge is the safe default at scale. At 100 TB: bucket
-    lineitem and orders by orderkey at rest to remove the exchange
-    entirely; with plain parquet, AQE handles skewed orderkeys by
-    splitting oversized partitions.
+    ``colocated=True`` (caller knows BOTH sides are bucketed+sorted on the
+    orderkey with matching bucket counts — the at-rest layout
+    sources/layout.py serves): force the sort-merge join, which then plans
+    ZERO exchange and zero sort — the 100 TB shape, with no per-run build
+    cost of any kind. The hint matters: left alone, the planner would
+    broadcast or shuffle-hash the small-estimate orders side, re-paying a
+    hash-relation build every fresh run and bypassing the bucket layout.
+
+    Otherwise, cost-based build-side strategy (same Catalyst statistic the
+    optimizer uses for broadcasts): when the pruned orders side is provably
+    small, hint SHUFFLE_HASH — the hash build beats both sort-merge (no
+    sort) and broadcast (no driver serialization of 100k+ rows; measured
+    0.49 s vs 0.71 s default at sf0.1). Above the threshold leave the
+    planner alone: per-partition hash builds of an unbounded fact side can
+    exhaust reducer memory, so sort-merge is the safe default at scale;
+    AQE handles skewed orderkeys by splitting oversized partitions.
     """
     from airflow_etl_elt_spark.operators.aggregates import (
         _MEDIAN_SMALL_BYTES,
         _plan_size_bytes,
     )
     from airflow_etl_elt_spark.operators.relational import fuse_small_input
+
+    if colocated:
+        li = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        return (
+            li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "revenue"
+                ),
+                F.count(F.lit(1)).alias("line_cnt"),
+            )
+            .orderBy("o_orderpriority")
+        )
 
     build = orders
     if _plan_size_bytes(orders) < _MEDIAN_SMALL_BYTES:
@@ -173,6 +195,7 @@ def top_revenue_orders(
     lineitem: DataFrame,
     segment: str = "BUILDING",
     k: int = 10,
+    colocated: bool = False,
 ) -> DataFrame:
     """TPC-H Q3-shaped: revenue per order for one segment, top-k.
 
@@ -207,7 +230,21 @@ def top_revenue_orders(
     from airflow_etl_elt_spark.operators.relational import fuse_small_input
 
     lineitem = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
-    if 0 < _plan_size_bytes(orders.select("o_orderkey", "o_orderdate")) < threshold:
+    if colocated:
+        # Both facts bucketed+sorted on the orderkey (the at-rest layout):
+        # customer broadcasts INTO the bucketed orders scan (preserving its
+        # partitioning/ordering), and the merge hint forces the SMJ that the
+        # bucket metadata makes exchange-free AND sort-free — no fact-sized
+        # hash relation is ever built, fresh or prepared. The broadcast/fuse
+        # branch below is strictly worse here: it re-pays a segment-orders
+        # hash build every fresh run.
+        segment_orders = (
+            F.broadcast(customer.filter(F.col("c_mktsegment") == segment))
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .select("o_orderkey", "o_orderdate")
+            .hint("merge")
+        )
+    elif 0 < _plan_size_bytes(orders.select("o_orderkey", "o_orderdate")) < threshold:
         segment_orders = F.broadcast(segment_orders)
         # With the probe side broadcast, a fused-small lineitem turns the
         # whole query into one stage in fresh-build mode (gate no-ops in

@@ -47,6 +47,19 @@ from airflow_etl_elt_spark.sources.readers import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+def _orderkey_colocated(spark: SparkSession, sf: str) -> bool:
+    """True when the at-rest layout (sources/layout.py — the bench path)
+    serves lineitem AND orders bucketed on the orderkey: the fact-fact joins
+    then take the exchange-free sort-merge shape instead of re-paying a
+    fact-sized broadcast hash build every fresh run."""
+    from airflow_etl_elt_spark.sources import layout
+
+    return layout.bucketed_on(spark, sf, "lineitem", ("l_orderkey",)) and (
+        layout.bucketed_on(spark, sf, "orders", ("o_orderkey",))
+    )
+
+
 # --------------------------------------------------------------------------
 # Reference-surface queries (SURVEY.md §2.1-2.5)
 # --------------------------------------------------------------------------
@@ -225,7 +238,11 @@ def q_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_revenue_by_priority(spark: SparkSession, sf: str) -> DataFrame:
-    return joins.revenue_by_priority(read_table(spark, sf, "lineitem"), read_table(spark, sf, "orders"))
+    return joins.revenue_by_priority(
+        read_table(spark, sf, "lineitem"),
+        read_table(spark, sf, "orders"),
+        colocated=_orderkey_colocated(spark, sf),
+    )
 
 
 def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -241,6 +258,7 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         read_table(spark, sf, "customer"),
         read_table(spark, sf, "orders"),
         read_table(spark, sf, "lineitem"),
+        colocated=_orderkey_colocated(spark, sf),
     )
 
 
@@ -1173,13 +1191,21 @@ def q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
     cc = F.broadcast(c) if _plan_size_bytes(c) < 16 * 1024 * 1024 else c
     oo = o.select("o_orderkey", "o_custkey")
-    if _plan_size_bytes(oo) < 16 * 1024 * 1024:
-        oo = F.broadcast(oo)
-    # all probe sides broadcast → a fused-small lineitem stream side makes
-    # the whole five-way join one fresh-build stage (no-op in prepared mode)
-    li = relational.fuse_small_input(
-        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    )
+    li = li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    if _orderkey_colocated(spark, sf):
+        # At-rest bucketed layout: the one fact-fact join (li ⋈ o on the
+        # orderkey) sort-merges with ZERO exchange and zero sort — no
+        # per-run hash build of the orders side at any SF. The merge hint
+        # stops the planner broadcasting the small-estimate orders side
+        # (which would bypass the bucket metadata and re-pay the build).
+        # No fuse: coalescing would destroy the bucketed partitioning.
+        oo = oo.hint("merge")
+    else:
+        if _plan_size_bytes(oo) < 16 * 1024 * 1024:
+            oo = F.broadcast(oo)
+        # all probe sides broadcast → a fused-small lineitem stream side makes
+        # the whole five-way join one fresh-build stage (no-op in prepared mode)
+        li = relational.fuse_small_input(li)
     return (
         li.join(F.broadcast(asian_sup), li.l_suppkey == F.col("s_suppkey"))
         .join(oo, li.l_orderkey == F.col("o_orderkey"))
@@ -1665,6 +1691,14 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     oo = o.select("o_orderkey", "o_custkey")
     cc = c.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
     li = li.select("l_orderkey", "l_extendedprice", "l_discount")
+    # Deliberately NOT switched to the bucketed sort-merge shape when the
+    # at-rest layout is active (unlike q3/q5/revenue_by_priority): q10's
+    # orders side is date-pruned ~7% BEFORE the join, so its broadcast
+    # build is bounded by the date window, not the orders table — and the
+    # isolated 10x A/B (scripts/exp_layout_ab.py, SCALING r7) measured the
+    # broadcast shape faster (0.49 s vs 0.63 s forced-merge). At real scale
+    # 7% of orders outgrows the 16 MB gate below and the shuffle join
+    # stands, so the scale story needs no bucket hint here.
     if (
         # 16 MB: the measured q5 crossover (see q_tpch_q5_local_revenue) —
         # the estimate under-reports hash-relation build cost ~3x in rows

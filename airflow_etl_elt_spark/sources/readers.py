@@ -195,6 +195,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC so results agree even under a caller-provided session that didn't
     # go through our get_session defaults.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Production at-rest layout override (bench path only — a no-op dict
+    # lookup unless sources.layout.prepare_at_rest_layout ran this session):
+    # same rows, bucketed/multi-file physical layout.
+    from airflow_etl_elt_spark.sources import layout as _layout
+
+    overridden = _layout.resolve(spark, sf_dir, name)
+    if overridden is not None:
+        return overridden
     # Catalog-style relation cache: re-resolving the same path re-lists files
     # and re-reads parquet footers on the DRIVER every time (~50-150 ms per
     # table), which a real engine amortizes in its catalog (Spark's own

@@ -203,6 +203,7 @@ def write_bucketed(
     num_buckets: int = 16,
     sort_cols: tuple[str, ...] = (),
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Catalog-backed bucketed (and optionally sorted) parquet table.
 
@@ -211,10 +212,17 @@ def write_bucketed(
     join WITHOUT any Exchange — at 100 TB that deletes the single largest
     cost of a lineitem ⋈ orders style join. Verified by
     tests/test_sinks.py::test_bucketed_join_has_no_exchange.
+
+    ``path`` makes the table EXTERNAL at that location: DROP TABLE then
+    removes only the catalog entry, never the data — the contract the
+    at-rest layout (sources/layout.py) relies on to re-attach materialized
+    buckets across sessions.
     """
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
 
 

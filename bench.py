@@ -95,6 +95,28 @@ def main() -> None:
             except Exception:
                 pass  # warmup must never fail the bench
 
+    # Production at-rest layout (VERDICT r6 next-step 1): facts bucketed on
+    # their join keys, corpus/dim tables multi-file — the layout a warehouse
+    # lands data in, materialized once per fixture identity (untimed prep,
+    # like any initial load). Fresh mode then stops paying a fact-sized
+    # broadcast hash build per TPC-H run, and scans parallelize instead of
+    # serializing on the fixtures' single row group. BOTH engines read the
+    # rewritten bytes (the DuckDB views below glob the same files), and the
+    # bench line reports which layout produced the number. Set
+    # SPARK_GRAFT_AT_REST_LAYOUT=0 to bench the raw driver fixtures.
+    from airflow_etl_elt_spark.sources import layout as _layout
+
+    layout_name = "source-fixtures"
+    if os.environ.get("SPARK_GRAFT_AT_REST_LAYOUT", "1") != "0":
+        try:
+            rewritten = _layout.prepare_at_rest_layout(spark, sf_dir)
+            if rewritten:
+                layout_name = f"bucketed-at-rest({','.join(sorted(rewritten))})"
+            else:
+                layout_name = "source-fixtures(all tables under rewrite floor)"
+        except Exception as exc:  # layout prep must never void the bench
+            print(f"at-rest layout prep failed: {exc}", file=sys.stderr)
+
     # Pre-resolve + page-cache-warm the BENCH-SF tables before the timed
     # loop: the first timed round otherwise pays file listing, parquet
     # footer reads, and a cold OS page cache for sf_dir (the sf0.001 warmup
@@ -138,12 +160,21 @@ def main() -> None:
         from airflow_etl_elt_spark.queries import ORACLE_SQL
 
         duck_con = duckdb.connect()
+        # Timestamps in the rewritten layout are UTC-adjusted parquet micros;
+        # pin the connection TZ so DuckDB's date_trunc/year semantics stay
+        # wall-clock-identical to the Spark session's pinned UTC.
+        duck_con.sql("SET TimeZone='UTC'")
         for t in TABLES:
-            p = f"{sf_dir}/{t}.parquet"
-            # Spark-written tables are DIRECTORIES of part files; the driver
-            # fixtures are single files. DuckDB needs the glob for the former.
-            if os.path.isdir(p):
-                p = f"{p}/*.parquet"
+            # Same bytes for both engines: when the at-rest layout rewrote a
+            # table, DuckDB's view globs the rewritten files too.
+            p = _layout.duckdb_path(sf_dir, t)
+            if p is None:
+                p = f"{sf_dir}/{t}.parquet"
+                # Spark-written tables are DIRECTORIES of part files; the
+                # driver fixtures are single files. DuckDB needs the glob
+                # for the former.
+                if os.path.isdir(p):
+                    p = f"{p}/*.parquet"
             duck_con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         # Oracled-for-correctness but NOT a fair timing baseline:
         # dedup_minhash's DuckDB twin (r5) must express wrapping 64-bit
@@ -289,6 +320,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "layout": layout_name,
         "spark_job_floor_sec": round(floor, 4),
         "duckdb_total": duck_total,
         "spark_comparable_total": spark_comparable,

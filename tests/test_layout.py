@@ -1,0 +1,125 @@
+"""Production at-rest layout (sources/layout.py — the bench path's bucketed/
+multi-file rewrite): size policy, row-level fidelity, the exchange-free plan
+shapes it exists for, and result parity with the pristine-fixture plans."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_elt_spark.sources import layout
+from airflow_etl_elt_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def rewritten_layout(spark):
+    """Force the rewrite floor to zero so the tiny test fixtures exercise the
+    full bucketed + multi-file paths; always deregister afterwards so other
+    tests keep reading pristine fixtures."""
+    old_min = os.environ.get("SPARK_GRAFT_LAYOUT_MIN_BYTES")
+    old_buckets = os.environ.get("SPARK_GRAFT_BUCKETS")
+    os.environ["SPARK_GRAFT_LAYOUT_MIN_BYTES"] = "0"
+    os.environ["SPARK_GRAFT_BUCKETS"] = "4"
+    try:
+        yield layout.prepare_at_rest_layout(spark, SF)
+    finally:
+        layout.clear(spark)
+        for k, v in (
+            ("SPARK_GRAFT_LAYOUT_MIN_BYTES", old_min),
+            ("SPARK_GRAFT_BUCKETS", old_buckets),
+        ):
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def test_size_policy_skips_small_fixtures(spark):
+    """Every driver fixture is under the 16 MB floor, so the default policy
+    rewrites NOTHING — the sf0.1 bench series stays comparable."""
+    assert layout.prepare_at_rest_layout(spark, SF) == {}
+    assert layout.resolve(spark, SF, "orders") is None
+    assert not layout.bucketed_on(spark, SF, "orders", ("o_orderkey",))
+
+
+def test_rewrite_preserves_rows_exactly(spark, rewritten_layout):
+    """Bucketed and multi-file rewrites are row-identical to the source —
+    including events' null-timestamp rows."""
+    assert set(rewritten_layout) >= {"orders", "lineitem", "events", "documents"}
+    for name, key in [("orders", "o_orderkey"), ("documents", "doc_id")]:
+        got = layout.resolve(spark, SF, name)
+        layout.suspend(spark)
+        try:
+            src = read_table(spark, SF, name)
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, src.collect())
+            )
+        finally:
+            layout.resume(spark)
+    ev = layout.resolve(spark, SF, "events")
+    layout.suspend(spark)
+    try:
+        src_ev = read_table(spark, SF, "events")
+        assert ev.count() == src_ev.count()
+        assert (
+            ev.filter(F.col("ts").isNull()).count()
+            == src_ev.filter(F.col("ts").isNull()).count()
+        )
+    finally:
+        layout.resume(spark)
+
+
+def test_colocated_join_plans_no_exchange(spark, rewritten_layout):
+    """The reason the layout exists: q3's fact-fact join sort-merges off the
+    bucket metadata with ZERO shuffle exchanges and no fact-sized broadcast
+    build (the only broadcast is dimension-sized customer)."""
+    from airflow_etl_elt_spark.queries import QUERIES
+
+    assert layout.bucketed_on(spark, SF, "orders", ("o_orderkey",))
+    assert layout.bucketed_on(spark, SF, "lineitem", ("l_orderkey",))
+    df = QUERIES["tpch_q3"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 0, plan
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("BroadcastExchange") == 1, plan  # customer only
+
+
+def test_sessionize_plans_no_exchange_no_sort(spark, rewritten_layout):
+    """events bucketed on user_id and sorted (user_id, ts, event_id): the
+    two-window sessionization needs neither an exchange nor a sort."""
+    from airflow_etl_elt_spark.queries import QUERIES
+
+    df = QUERIES["sessionize"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Sort [" not in plan.replace("SortMergeJoin", ""), plan
+
+
+def test_layout_results_match_pristine_fixtures(spark, rewritten_layout):
+    """Same rows in, different physical layout: the layout-served plans must
+    return byte-identical results to the pristine-fixture plans."""
+    from airflow_etl_elt_spark.queries import QUERIES
+
+    for key in ["tpch_q3", "tpch_q5_local_revenue", "revenue_by_priority",
+                "sessionize", "events_hourly", "tpch_q10"]:
+        got = sorted(map(tuple, QUERIES[key](spark, SF).collect()))
+        layout.suspend(spark)
+        try:
+            want = sorted(map(tuple, QUERIES[key](spark, SF).collect()))
+        finally:
+            layout.resume(spark)
+        assert got == want, key
+
+
+def test_reattach_reuses_files(spark, rewritten_layout):
+    """A second prepare in the same session is registry-only; the marker
+    files prove the materialization is identity-keyed on disk."""
+    again = layout.prepare_at_rest_layout(spark, SF)
+    assert again == rewritten_layout
+    marker = os.path.join(rewritten_layout["orders"], "_LAYOUT_MARKER.json")
+    assert os.path.exists(marker)
