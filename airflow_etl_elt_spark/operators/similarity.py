@@ -425,6 +425,25 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
+def portable_hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Engine-portable pseudo-random hyperplanes: pure integer arithmetic
+    mapped to [-1, 1], so a SQL oracle rebuilds the byte-identical planes
+    from (j, i, seed) — the same derivation trick as readers.derived_partsupp.
+    Random-hyperplane LSH only needs directions that split the sphere
+    roughly evenly; the multiplicative mixing below passes the same
+    recall@10 gate as the Gaussian planes (tests/test_recall.py). Every
+    intermediate stays under 2^53, so both engines compute exact doubles."""
+    m = 2000003  # prime modulus; (v - (m-1)/2) / ((m-1)/2) spans [-1, 1]
+    half = (m - 1) // 2
+    return [
+        [
+            ((j * 73856093 + i * 19349663 + seed * 83492791) % m - half) / half
+            for i in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
 def _probe_count(bits: int, max_hamming: int) -> int:
     """Buckets probed per table: exact bucket + all within ``max_hamming``
     bit flips (the probe sets built in ``ann_topk``)."""
@@ -478,19 +497,39 @@ def auto_bits(
     return best
 
 
+def auto_bits_from_count(n: int, k: int, max_hamming: int = 2,
+                         candidate_budget: int | None = None) -> int:
+    """``auto_bits``' sizing rule as a pure function of an EXACT row count —
+    engine-portable, so a SQL oracle derives the same width from count(*)
+    (``auto_bits`` reads Catalyst's size estimate instead, which no other
+    engine can see; hash-checkable keys need the portable signal). One
+    count job on a dimension-sized table buys the oracle; the estimate
+    variant remains for job-free callers."""
+    if candidate_budget is None:
+        candidate_budget = max(400, 40 * k)
+    best = 4
+    for b in range(4, 25):
+        best = b
+        if n * _probe_count(b, max_hamming) / float(1 << b) <= candidate_budget:
+            break
+    return best
+
+
 def lsh_bucket(
     embeddings: DataFrame,
     dim: int,
     bits: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
+    plane_fn=None,
 ) -> DataFrame:
     """Append a random-hyperplane LSH bucket id (0..2^bits-1).
 
     sign(v · h_j) per hyperplane → bit j. All arithmetic is built-in
     higher-order functions over the array column — no UDF.
-    """
-    planes = _hyperplanes(dim, bits, seed)
+    ``plane_fn`` swaps the Gaussian planes for another generator (e.g.
+    ``portable_hyperplanes`` for SQL-oracle-checkable buckets)."""
+    planes = (plane_fn or _hyperplanes)(dim, bits, seed)
     bucket = F.lit(0).cast("bigint")
     for j, plane in enumerate(planes):
         h = F.array(*[F.lit(float(x)) for x in plane])
@@ -512,6 +551,7 @@ def ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_fn=None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's LSH bucket in each of ``tables``
     independent hash tables (union of candidates), then exact cosine over
@@ -544,7 +584,7 @@ def ann_topk(
     cond = None
     bucketed = embeddings
     for t in range(tables):
-        planes = _hyperplanes(dim, bits, seed + t)
+        planes = (plane_fn or _hyperplanes)(dim, bits, seed + t)
         qb = 0
         for j, plane in enumerate(planes):
             if sum(q * p for q, p in zip(query_vec, plane)) > 0:
@@ -558,7 +598,9 @@ def ann_topk(
                 for i in range(bits)
                 for j in range(i + 1, bits)
             }
-        bucketed = lsh_bucket(bucketed, dim, bits, seed + t, vec_col).withColumnRenamed(
+        bucketed = lsh_bucket(
+            bucketed, dim, bits, seed + t, vec_col, plane_fn=plane_fn
+        ).withColumnRenamed(
             "bucket", f"__bkt{t}"
         )
         c = F.col(f"__bkt{t}").isin([int(p) for p in probe])

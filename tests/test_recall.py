@@ -71,6 +71,47 @@ def test_ann_lsh_recall_holds_at_larger_sf(spark):
     assert len(exact & got) / len(exact) >= 0.8
 
 
+def test_ann_lsh_portable_planes_recall(spark, exact_top10):
+    """The r7 q_ann_lsh configuration (portable integer-arithmetic planes +
+    count-derived bits — the one the DuckDB oracle replicates) must pass
+    the same recall gate as the Gaussian planes, at both fixture sizes."""
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    bits = similarity.auto_bits_from_count(emb.count(), k=10, max_hamming=1)
+    assert (
+        _lsh_recall(
+            spark, exact_top10, bits=bits,
+            plane_fn=similarity.portable_hyperplanes,
+        )
+        >= 0.8
+    )
+    sf = "/root/testdata/sf0.1"
+    emb = read_table(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    bits = similarity.auto_bits_from_count(emb.count(), k=10, max_hamming=1)
+    got = {
+        r["vec_id"]
+        for r in similarity.ann_topk(
+            emb, q, dim=64, k=10, bits=bits,
+            plane_fn=similarity.portable_hyperplanes,
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.8
+
+
+def test_portable_planes_are_engine_portable():
+    """Every intermediate of the portable plane derivation must stay exact
+    in a double (the SQL twin computes the same integers), and the values
+    must span [-1, 1] without degenerate repetition."""
+    planes = similarity.portable_hyperplanes(64, 24, 49)  # largest seed used
+    flat = [x for row in planes for x in row]
+    assert all(-1.0 <= x <= 1.0 for x in flat)
+    assert len(set(flat)) > len(flat) * 0.99  # no lattice collapse
+    j, i, seed = 23, 63, 49
+    v = j * 73856093 + i * 19349663 + seed * 83492791
+    assert v < 2**53
+
+
 def test_auto_bits_grows_with_corpus():
     """Unit check on the sizing rule itself (no Spark): candidate budget
     constant => bits grow ~log2(n)."""
