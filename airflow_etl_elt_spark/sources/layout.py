@@ -318,7 +318,22 @@ def prepare_at_rest_layout(spark: SparkSession, sf_dir: str) -> dict[str, str]:
                 json.dump({"source": sf_abs, "identity": ident, "rows": n_out}, fh)
         _REGISTRY[(app_id, sf_abs, name)] = {"kind": "files", "path": out_dir}
         locations[name] = out_dir
+    if locations:
+        _invalidate_plan_cache()
     return locations
+
+
+def _invalidate_plan_cache() -> None:
+    """Activating/deactivating overrides changes which physical relations a
+    query key resolves to — any prepared DataFrames memoized under the same
+    (app, sf, key) are now the WRONG plan (same results, different layout).
+    Keep the prepared-plan cache consistent with the registry state."""
+    try:
+        from airflow_etl_elt_spark.queries import plan_cache_clear
+
+        plan_cache_clear()
+    except Exception:
+        pass  # queries not imported yet: nothing cached
 
 
 def resolve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
@@ -367,10 +382,15 @@ def clear(spark: SparkSession | None = None) -> None:
     """Drop this session's overrides (tests). Files stay on disk."""
     if spark is None:
         _REGISTRY.clear()
+        _invalidate_plan_cache()
         return
     app_id = spark.sparkContext.applicationId
+    dropped = False
     for key in [k for k in _REGISTRY if k[0] == app_id]:
         del _REGISTRY[key]
+        dropped = True
+    if dropped:
+        _invalidate_plan_cache()
 
 
 _SUSPENDED: dict[tuple[str, str, str], dict] = {}
@@ -381,11 +401,19 @@ def suspend(spark: SparkSession) -> None:
     tests) without losing the registered catalog tables. resume() restores
     them with zero catalog round trips."""
     app_id = spark.sparkContext.applicationId
+    moved = False
     for key in [k for k in _REGISTRY if k[0] == app_id]:
         _SUSPENDED[key] = _REGISTRY.pop(key)
+        moved = True
+    if moved:
+        _invalidate_plan_cache()
 
 
 def resume(spark: SparkSession) -> None:
     app_id = spark.sparkContext.applicationId
+    moved = False
     for key in [k for k in _SUSPENDED if k[0] == app_id]:
         _REGISTRY[key] = _SUSPENDED.pop(key)
+        moved = True
+    if moved:
+        _invalidate_plan_cache()

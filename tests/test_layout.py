@@ -100,17 +100,30 @@ def test_sessionize_plans_no_exchange_no_sort(spark, rewritten_layout):
     assert "Sort [" not in plan.replace("SortMergeJoin", ""), plan
 
 
+def _canon_row(row):
+    # different plan shapes sum floats in different orders; compare at the
+    # driver harness's own 9-significant-digit canonicalization
+    return tuple(
+        float(f"{v:.9g}") if isinstance(v, float) and v == v and v != 0 else v
+        for v in row
+    )
+
+
 def test_layout_results_match_pristine_fixtures(spark, rewritten_layout):
     """Same rows in, different physical layout: the layout-served plans must
-    return byte-identical results to the pristine-fixture plans."""
+    return the same results as the pristine-fixture plans (floats compared
+    at the oracle harness's 9-significant-digit canonicalization — the SMJ
+    and broadcast plans legitimately sum in different orders)."""
     from airflow_etl_elt_spark.queries import QUERIES
 
     for key in ["tpch_q3", "tpch_q5_local_revenue", "revenue_by_priority",
                 "sessionize", "events_hourly", "tpch_q10"]:
-        got = sorted(map(tuple, QUERIES[key](spark, SF).collect()))
+        got = sorted(_canon_row(r) for r in QUERIES[key](spark, SF).collect())
         layout.suspend(spark)
         try:
-            want = sorted(map(tuple, QUERIES[key](spark, SF).collect()))
+            want = sorted(
+                _canon_row(r) for r in QUERIES[key](spark, SF).collect()
+            )
         finally:
             layout.resume(spark)
         assert got == want, key
