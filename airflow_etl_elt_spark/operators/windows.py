@@ -61,9 +61,25 @@ def top_k_per_group(
 
 # Above this optimized-plan size estimate the full-ranking suite considers
 # the bucket-composed plan (below it the plain window is strictly cheaper:
-# compose costs two extra scan passes).
+# compose costs two extra scan passes). FALLBACK signal only: compressed
+# bytes mis-gate when the at-rest layout changes compression (r7 finding —
+# the r6 replica rewrite compressed orders 2x better and silently flipped
+# this gate OFF at 10x/30x, resurrecting the plain-window spill). Callers
+# that can see parquet footer statistics pass ``total_rows`` instead.
 RANK_COMPOSE_BYTES = int(
     os.environ.get("SPARK_GRAFT_RANK_COMPOSE_BYTES", str(48 * 1024 * 1024))
+)
+
+# Rows-per-group threshold for the row-based gate (the honest unit: the
+# hazard is ONE task sorting one group's rows, which scales with rows, not
+# compressed bytes). Measured crossover on the production at-rest layout,
+# compute-only (the result fetch is identical in both plans), alternating
+# pair order, r7: 0.9M rows/group composed 2.12 s vs plain 2.16 s (tie);
+# 3M rows/group composed 5.45 s vs plain 8.35 s (composed 1.5x ahead and
+# the gap grows with group size — the plain window is super-linear once a
+# group's sort spills).
+RANK_COMPOSE_ROWS_PER_GROUP = int(
+    os.environ.get("SPARK_GRAFT_RANK_COMPOSE_ROWS_PER_GROUP", str(1_000_000))
 )
 
 
@@ -73,6 +89,7 @@ def ranking_suite(
     order_col: str,
     tiebreak_col: str,
     ntile_n: int = 4,
+    total_rows: int | None = None,
 ) -> DataFrame:
     """dense_rank / percent_rank / ntile / cume_dist per group over the
     UNIQUE total order (``order_col`` DESC, ``tiebreak_col`` ASC) — with a
@@ -133,12 +150,23 @@ def ranking_suite(
     src = df.select(group_col, order_col, tiebreak_col)
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    composed = _plan_size_bytes(src) >= RANK_COMPOSE_BYTES
+    # Gate, best signal first. With ``total_rows`` (parquet footer stats —
+    # exact, layout- and compression-independent): compose iff the key is
+    # low-cardinality AND rows-per-group crosses the measured spill
+    # threshold. Without it: the legacy compressed-bytes estimate (known
+    # to mis-fire when the at-rest layout compresses well — see
+    # RANK_COMPOSE_BYTES).
+    if total_rows is not None:
+        composed = total_rows >= RANK_COMPOSE_ROWS_PER_GROUP
+    else:
+        composed = _plan_size_bytes(src) >= RANK_COMPOSE_BYTES
     if composed:
         n_groups = src.agg(
             F.approx_count_distinct(group_col).alias("g")
         ).first()["g"]
         composed = n_groups < 4 * par
+        if composed and total_rows is not None:
+            composed = total_rows / max(n_groups, 1) >= RANK_COMPOSE_ROWS_PER_GROUP
     if not composed:
         w = Window.partitionBy(group_col).orderBy(
             F.desc(order_col), F.col(tiebreak_col)

@@ -1094,8 +1094,14 @@ def q_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
     o = read_table(spark, sf, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+    # Exact row count from parquet footer stats (no job): the row-based
+    # compose gate — the compressed-bytes estimate silently flipped OFF
+    # when the r6 replica rewrite halved orders' on-disk size (r7 finding,
+    # windows.RANK_COMPOSE_ROWS_PER_GROUP has the measured crossover).
+    stats = table_column_stats(sf, "orders", "o_totalprice")
     return windows.ranking_suite(
-        o, "o_orderpriority", "o_totalprice", "o_orderkey", ntile_n=4
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", ntile_n=4,
+        total_rows=None if stats is None else stats[2],
     ).select(
         F.col("o_orderkey"),
         "o_orderpriority",

@@ -42,6 +42,21 @@ def _plain(df, ntile_n):
     )
 
 
+def test_row_gate_is_compression_independent(spark):
+    """r7 regression pin: the r6 replica rewrite halved orders' on-disk
+    bytes and silently flipped the compressed-bytes gate OFF at 10x/30x,
+    resurrecting the plain-window spill. With footer ``total_rows`` the
+    decision must depend on rows-per-group only — a tiny well-compressed
+    file with a large stated row count composes; a small one never does."""
+    df = _frame(spark)
+    big = W.ranking_suite(
+        df, "g", "x", "id", total_rows=100 * W.RANK_COMPOSE_ROWS_PER_GROUP
+    )
+    assert "__bkt" in big._jdf.queryExecution().executedPlan().toString()
+    small = W.ranking_suite(df, "g", "x", "id", total_rows=1000)
+    assert "__bkt" not in small._jdf.queryExecution().executedPlan().toString()
+
+
 @pytest.mark.parametrize("ntile_n", [2, 3, 4, 7])
 def test_composed_matches_plain_window(spark, monkeypatch, ntile_n):
     monkeypatch.setattr(W, "RANK_COMPOSE_BYTES", 0)
@@ -99,7 +114,10 @@ def test_window_ranks_composed_plan_never_sorts_whole_group(spark, monkeypatch):
     spec must include the range bucket — parallelism groups x buckets, so
     no task ever sorts an entire priority."""
     monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", "0")
+    # force both gate signals: the catalog key passes footer total_rows (the
+    # r7 row-based gate), direct callers without stats hit the bytes gate
     monkeypatch.setattr(W, "RANK_COMPOSE_BYTES", 0)
+    monkeypatch.setattr(W, "RANK_COMPOSE_ROWS_PER_GROUP", 0)
     plan = (
         QUERIES["window_ranks"](spark, SF_SMOKE)
         ._jdf.queryExecution()
