@@ -15,7 +15,9 @@ This module materializes that at-rest layout ONCE per fixture identity
 overrides that ``readers.read_table`` consults:
 
 - ``orders`` / ``lineitem``: catalog-backed bucketed tables on the orderkey
-  (32 buckets, sorted) — q3/q5/q10/revenue_by_priority join exchange-free.
+  (32 buckets, sorted) — q3/q5/revenue_by_priority join exchange-free
+  (q10 deliberately keeps its date-pruned broadcast: measured faster, and
+  its build side is bounded by the date window — see q_tpch_q10).
 - ``events``: bucketed on ``user_id``, sorted (user_id, ts, event_id) —
   sessionize / per-user windows plan no exchange AND no sort.
 - ``documents`` / ``embeddings`` / dims: multi-file range-partitioned
