@@ -87,19 +87,22 @@ MULTI_FILE: dict[str, tuple[str, int]] = {
 # (applicationId, abs sf_dir, table) -> entry dict; see resolve().
 _REGISTRY: dict[tuple[str, str, str], dict] = {}
 
-# (abs sf_dir) -> identity hash, memoized (stat calls are cheap but this runs
-# inside read_table's hot path via resolve()).
-_IDENTITY_CACHE: dict[str, str] = {}
+# applicationId -> prior value ('' = unset) of the bucketed-scan ordering
+# flag, saved by prepare_at_rest_layout so suspend()/clear() can restore it
+# (ADVICE r7: the flag must not leak into 'layout off' A/B samples or later
+# non-layout work in the same session).
+_SAVED_ORDERING_CONF: dict[str, str] = {}
+
+_ORDERING_FLAG = "spark.sql.legacy.bucketedTableScan.outputOrdering"
 
 
 def _source_identity(sf_dir: str) -> str:
     """Size+mtime identity of the fixture directory — same derivation idea as
     streaming.catalog.source_identity: any rewrite of the fixtures produces a
-    new identity and therefore a fresh layout materialization."""
+    new identity and therefore a fresh layout materialization. Deliberately
+    NOT memoized (ADVICE r7): this only runs at prepare time, and a memo
+    would pin fixtures regenerated mid-process to a stale layout."""
     sf_dir = os.path.abspath(sf_dir)
-    cached = _IDENTITY_CACHE.get(sf_dir)
-    if cached is not None:
-        return cached
     parts: list[str] = [_LAYOUT_VERSION]
     for name in sorted(os.listdir(sf_dir)):
         p = os.path.join(sf_dir, name)
@@ -110,9 +113,7 @@ def _source_identity(sf_dir: str) -> str:
         else:
             st = os.stat(p)
             parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
-    ident = hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
-    _IDENTITY_CACHE[sf_dir] = ident
-    return ident
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
 def layout_buckets() -> int:
@@ -215,11 +216,15 @@ def prepare_at_rest_layout(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     # (off by default since SPARK-28595 because it needs the one-file-per-
     # bucket check); our writer repartitions to exactly one file per bucket,
     # so turning it on elides the window/SMJ sorts the layout already paid.
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    # Save the prior value so suspend()/clear() can restore it (the flag is
+    # part of the override state, not session state — ADVICE r7).
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _SAVED_ORDERING_CONF:
+        _SAVED_ORDERING_CONF[app_id] = _read_ordering_conf(spark)
+    spark.conf.set(_ORDERING_FLAG, "true")
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse"
     ).removeprefix("file:")
-    app_id = spark.sparkContext.applicationId
     already = {
         k[2]: v["path"] for k, v in _REGISTRY.items() if k[0] == app_id and k[1] == sf_abs
     }
@@ -371,26 +376,62 @@ def bucketed_on(
     return entry is not None and entry.get("bucket_cols") == cols
 
 
-def duckdb_path(sf_dir: str, name: str) -> str | None:
+def duckdb_path(sf_dir: str, name: str, spark: SparkSession | None = None) -> str | None:
     """Glob over the rewritten files for the bench's DuckDB views, so both
-    engines read identical bytes. None when the table wasn't rewritten."""
-    for (_, sfd, n), entry in _REGISTRY.items():
+    engines read identical bytes. None when the table wasn't rewritten.
+    Pass ``spark`` to restrict the lookup to that session's overrides
+    (ADVICE r7: without it, another session's entry for the same sf_dir
+    could redirect the views)."""
+    app_id = spark.sparkContext.applicationId if spark is not None else None
+    for (aid, sfd, n), entry in _REGISTRY.items():
+        if app_id is not None and aid != app_id:
+            continue
         if n == name and sfd == os.path.abspath(sf_dir):
             return os.path.join(entry["path"], "*.parquet")
     return None
 
 
+def _read_ordering_conf(spark: SparkSession) -> str:
+    """Current explicit value of the ordering flag, or '' when it is unset
+    (conf.get(key, default) type-checks the default, so '' can't be passed
+    through it)."""
+    try:
+        return spark.conf.get(_ORDERING_FLAG)
+    except Exception:
+        return ""
+
+
+def _restore_ordering_conf(spark: SparkSession) -> None:
+    """Put the bucketed-scan ordering flag back to its pre-prepare value
+    once this session has no active overrides left."""
+    app_id = spark.sparkContext.applicationId
+    prior = _SAVED_ORDERING_CONF.pop(app_id, None)
+    if prior is None:
+        return
+    if prior == "":
+        spark.conf.unset(_ORDERING_FLAG)
+    else:
+        spark.conf.set(_ORDERING_FLAG, prior)
+
+
 def clear(spark: SparkSession | None = None) -> None:
-    """Drop this session's overrides (tests). Files stay on disk."""
+    """Drop this session's overrides (tests), INCLUDING any suspended ones
+    (ADVICE r7: a resume() after clear() must not re-activate dropped
+    overrides), and restore the session conf prepare() touched. Files stay
+    on disk."""
     if spark is None:
         _REGISTRY.clear()
+        _SUSPENDED.clear()
+        _SAVED_ORDERING_CONF.clear()
         _invalidate_plan_cache()
         return
     app_id = spark.sparkContext.applicationId
     dropped = False
-    for key in [k for k in _REGISTRY if k[0] == app_id]:
-        del _REGISTRY[key]
-        dropped = True
+    for store in (_REGISTRY, _SUSPENDED):
+        for key in [k for k in store if k[0] == app_id]:
+            del store[key]
+            dropped = True
+    _restore_ordering_conf(spark)
     if dropped:
         _invalidate_plan_cache()
 
@@ -401,13 +442,19 @@ _SUSPENDED: dict[tuple[str, str, str], dict] = {}
 def suspend(spark: SparkSession) -> None:
     """Temporarily deactivate this session's overrides (A/B measurement and
     tests) without losing the registered catalog tables. resume() restores
-    them with zero catalog round trips."""
+    them with zero catalog round trips. The bucketed-scan ordering conf is
+    restored to its pre-prepare value too, so 'layout off' samples run under
+    pristine session state (ADVICE r7)."""
     app_id = spark.sparkContext.applicationId
     moved = False
     for key in [k for k in _REGISTRY if k[0] == app_id]:
         _SUSPENDED[key] = _REGISTRY.pop(key)
         moved = True
     if moved:
+        prior = _SAVED_ORDERING_CONF.get(app_id)
+        _restore_ordering_conf(spark)
+        if prior is not None:  # keep for resume()/clear()
+            _SAVED_ORDERING_CONF[app_id] = prior
         _invalidate_plan_cache()
 
 
@@ -418,4 +465,5 @@ def resume(spark: SparkSession) -> None:
         _REGISTRY[key] = _SUSPENDED.pop(key)
         moved = True
     if moved:
+        spark.conf.set(_ORDERING_FLAG, "true")  # overrides active again
         _invalidate_plan_cache()

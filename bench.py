@@ -167,7 +167,7 @@ def main() -> None:
         for t in TABLES:
             # Same bytes for both engines: when the at-rest layout rewrote a
             # table, DuckDB's view globs the rewritten files too.
-            p = _layout.duckdb_path(sf_dir, t)
+            p = _layout.duckdb_path(sf_dir, t, spark)
             if p is None:
                 p = f"{sf_dir}/{t}.parquet"
                 # Spark-written tables are DIRECTORIES of part files; the

@@ -136,3 +136,58 @@ def test_reattach_reuses_files(spark, rewritten_layout):
     assert again == rewritten_layout
     marker = os.path.join(rewritten_layout["orders"], "_LAYOUT_MARKER.json")
     assert os.path.exists(marker)
+
+
+# --- ADVICE r7 regression pins -------------------------------------------
+
+
+def test_clear_purges_suspended_overrides(spark, rewritten_layout):
+    """clear() after suspend() must drop the suspended overrides too: a
+    later resume() must NOT re-activate supposedly-cleared state."""
+    layout.suspend(spark)
+    layout.clear(spark)
+    layout.resume(spark)
+    assert layout.resolve(spark, SF, "orders") is None
+    # rewritten_layout's teardown clear() is then a no-op; re-prepare so the
+    # fixture's teardown path still sees a consistent world
+    layout.prepare_at_rest_layout(spark, SF)
+
+
+def test_ordering_conf_restored_on_suspend_and_clear(spark, rewritten_layout):
+    """The bucketed-scan outputOrdering flag is override state, not session
+    state: suspend() restores the pre-prepare value, resume() re-applies it,
+    clear() restores it for good."""
+    flag = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    assert spark.conf.get(flag) == "true"
+    layout.suspend(spark)
+    assert spark.conf.get(flag, "false") != "true"
+    layout.resume(spark)
+    assert spark.conf.get(flag) == "true"
+    layout.clear(spark)
+    assert spark.conf.get(flag, "false") != "true"
+    layout.prepare_at_rest_layout(spark, SF)  # keep fixture teardown sane
+    assert spark.conf.get(flag) == "true"
+
+
+def test_duckdb_path_scoped_to_session(spark, rewritten_layout):
+    """duckdb_path(spark=...) must ignore another session's registry entries
+    for the same sf_dir."""
+    own = layout.duckdb_path(SF, "orders", spark)
+    assert own is not None and own.endswith("*.parquet")
+    foreign_key = ("some-other-app-id", os.path.abspath(SF), "orders")
+    layout._REGISTRY[foreign_key] = {"kind": "files", "path": "/nonexistent/dir"}
+    try:
+        assert layout.duckdb_path(SF, "orders", spark) == own
+    finally:
+        del layout._REGISTRY[foreign_key]
+
+
+def test_source_identity_tracks_fixture_rewrites(tmp_path):
+    """Regenerating a fixture file mid-process must produce a new layout
+    identity (the r7 memo pinned the first observation forever)."""
+    p = tmp_path / "orders.parquet"
+    p.write_bytes(b"v1")
+    ident1 = layout._source_identity(str(tmp_path))
+    os.utime(p, (1000000000, 1000000000))
+    ident2 = layout._source_identity(str(tmp_path))
+    assert ident1 != ident2
