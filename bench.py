@@ -314,6 +314,23 @@ def main() -> None:
         if duck_timings[k] > 0
     }
     prepared_total = round(sum(timings_prepared.get(k, 0.0) for k in comparable), 4)
+    # Per-query distribution alongside the total (VERDICT r7 next-step 1):
+    # at the 100x replica the aggregate ratio is carried by window_ranks —
+    # a full-input-cardinality result set (one rank row per input row) whose
+    # 15M-row fetch both engines pay, 39%/56% of the two totals — so the
+    # line also reports the MEDIAN per-query ratio and the total with
+    # fetch-dominated keys excluded, so "total within Nx" can never be read
+    # as "every query within Nx".
+    fetch_dominated = {"window_ranks"}
+    ratio_vals = sorted(ratios.values())
+    ratio_median = (
+        round(_median(ratio_vals), 2) if ratio_vals else None
+    )
+    core = [k for k in comparable if k not in fetch_dominated]
+    core_duck = sum(duck_timings[k] for k in core)
+    ratio_excl_fetch = (
+        round(sum(timings[k] for k in core) / core_duck, 2) if core_duck else None
+    )
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -329,6 +346,8 @@ def main() -> None:
             round(adj_total / duck_total, 2) if duck_total else None
         ),
         "ratios": ratios,
+        "ratio_median_per_query": ratio_median,
+        "ratio_vs_duckdb_excl_fetch_dominated": ratio_excl_fetch,
         # Service steady state (prepared plans + Spark-native shuffle-stage
         # reuse on immutable data) — secondary by design; see the timing-mode
         # comment above for why this is not the operator-cost headline.
