@@ -113,7 +113,7 @@ def main() -> None:
             .groupBy(F.md5(F.col("text")).alias("__h"))
             .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n"))
             .agg(F.count(F.lit(1)).alias("groups"), F.sum("n").alias("rows")),
-            "SELECT count(*) groups, sum(n) rows FROM (SELECT md5(text) h,"
+            "SELECT count(*) AS n_groups, sum(n) AS n_rows FROM (SELECT md5(text) h,"
             " min(doc_id), count(*) n FROM documents GROUP BY md5(text))",
         ),
         "dedup_exact_full": (
@@ -134,7 +134,7 @@ def main() -> None:
             .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
             .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
             .agg(F.count(F.lit(1)).alias("groups"), F.sum("cnt").alias("rows")),
-            "SELECT count(*) groups, sum(cnt) rows FROM ("
+            "SELECT count(*) AS n_groups, sum(cnt) AS n_rows FROM ("
             "SELECT date_trunc('hour', ts) h, event_type, count(*) cnt,"
             " sum(value) sv FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)",
         ),
