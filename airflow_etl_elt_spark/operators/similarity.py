@@ -392,6 +392,40 @@ def ivf_assign(
     ).drop("__d")
 
 
+def portable_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+) -> "list[list[float]]":
+    """Engine-portable IVF coarse centroids: the corpus vectors at the
+    id-modulus stride — ``id % s == 0 AND id < n_centroids * s`` with
+    ``s = max(1, count // n_centroids)`` — taken in ascending id order.
+
+    This is k-means with ZERO Lloyd iterations and deterministic id-space
+    stratified seeding: the centroids are actual corpus vectors (on the data
+    manifold, unlike random constants), the selection is a pure function of
+    the table (``count(*)`` and id arithmetic — the auto_bits_from_count /
+    portable_hyperplanes trick), and a SQL oracle rebuilds the IDENTICAL
+    centroid set, cell assignment, and probe order — which makes the whole
+    IVF pipeline hash-checkable the way ann_lsh became in r7. Approximation
+    quality is gated independently (recall@10 in tests/test_recall.py).
+    Centroid index = rank in ascending id order. Bounded driver collect
+    (<= n_centroids rows)."""
+    n = corpus_count if corpus_count is not None else embeddings.count()
+    s = max(1, n // n_centroids)
+    rows = (
+        embeddings.filter(
+            (F.col(id_col) % s == 0) & (F.col(id_col) < n_centroids * s)
+        )
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -401,15 +435,31 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse: str = "kmeans",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine over only the ``n_probe`` cells
     nearest the query (probing ~n_probe/n_centroids of the corpus).
-    Recall grows with n_probe; n_probe = n_centroids degrades to exact."""
+    Recall grows with n_probe; n_probe = n_centroids degrades to exact.
+    ``coarse="kmeans"`` trains seeded Lloyd centroids (the quality path);
+    ``coarse="portable"`` uses ``portable_ivf_centroids`` (deterministic,
+    SQL-replicable — the exact-oracle path). Probe order ties break by
+    centroid index so both engines pick identical probe sets."""
     import numpy as np
 
-    C = np.array(ivf_centroids(embeddings, n_centroids, seed=seed, vec_col=vec_col))
+    if coarse == "portable":
+        C = np.array(
+            portable_ivf_centroids(
+                embeddings, n_centroids, id_col, vec_col, corpus_count
+            )
+        )
+    else:
+        C = np.array(
+            ivf_centroids(embeddings, n_centroids, seed=seed, vec_col=vec_col)
+        )
     q = np.array(query_vec, dtype=np.float64)
-    probe = np.argsort(((C - q[None, :]) ** 2).sum(axis=1))[:n_probe].tolist()
+    d = ((C - q[None, :]) ** 2).sum(axis=1)
+    probe = sorted(range(len(C)), key=lambda i: (d[i], i))[:n_probe]
     cells = ivf_assign(embeddings, [[float(v) for v in row] for row in C], vec_col)
     return cosine_topk(
         cells.filter(F.col("ivf_cell").isin([int(p) for p in probe])),

@@ -1536,14 +1536,23 @@ def _with_exact_top50(approx: DataFrame, emb: DataFrame, qv: "list[float]") -> D
 
 
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN: probe 4 of 16 k-means cells. Rows-only (approximate +
-    iterative centroid training has no SQL twin), but the output carries a
-    driver-visible self-check: ``in_exact_top50`` flags each approximate hit
-    as a member of the exact brute-force top-50 — a recall floor the judge
-    can read straight off the CORRECTNESS row instead of trusting pytest."""
+    """IVF ANN: probe 4 of 16 cells. EXACT-ORACLED as of r8 (VERDICT r7
+    stretch 7, following the ann_lsh precedent): the coarse quantizer is
+    ``similarity.portable_ivf_centroids`` — k-means with zero Lloyd
+    iterations and deterministic id-modulus stratified seeding (centroids
+    are the corpus vectors at ``vec_id % (count//16) == 0``), so the DuckDB
+    twin rebuilds the identical centroid set, argmin-L2 cell assignment
+    (ties to the lowest centroid index), 4-nearest-cell probe order, and
+    exact cosine re-scoring. Cells stay balanced and the probe covers ~24%
+    of the corpus (measured at sf0.1) with recall@10 = 1.0; the recall gate
+    lives in tests/test_recall.py and the output keeps the driver-visible
+    ``in_exact_top50`` flag. The seeded-Lloyd quality path remains available
+    as ``ivf_topk(coarse="kmeans")`` (ann_pq still trains it)."""
     emb = read_table(spark, sf, "embeddings")
     qv = _query_vec(spark, sf)
-    approx = similarity.ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=4)
+    approx = similarity.ivf_topk(
+        emb, qv, k=10, n_centroids=16, n_probe=4, coarse="portable"
+    )
     return _with_exact_top50(approx, emb, qv)
 
 
@@ -2493,6 +2502,10 @@ def q_txn_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
 # (all-keys, committed as scripts/sweep_*.txt on five axes incl. the 10x
 # replica).
 QUERIES: dict[str, QueryFn] = {
+    # --- exact-oracle conversion entering at r8 (the r7 ann_lsh pattern: a
+    # fresh conversion leads the dict for its first driver hash-check; the
+    # displaced 50th-oldest key joins the r9 rotation) ---
+    "ann_ivf": q_ann_ivf,
     # --- last driver check: r01 ---
     "table_scan_project": q_table_scan_project,
     "scan_filter_pushdown": q_scan_filter_pushdown,
@@ -2643,7 +2656,6 @@ QUERIES: dict[str, QueryFn] = {
     # --- rows-only (no oracle by design) ---
     "sample_frac": q_sample_frac,
     "pack_sequences": q_pack_sequences,
-    "ann_ivf": q_ann_ivf,
     "media_features": q_media_features,
     "bpe_merges": q_bpe_merges,
     "ann_pq": q_ann_pq,
@@ -4215,13 +4227,15 @@ ORACLE_SQL: dict[str, str] = {
 # Keys intentionally WITHOUT oracle SQL (driver records rows-only check):
 # sample_frac (seed semantics differ), bpe_merges (iterative argmax
 # merges), pack_sequences (packing follows sampled range-partition
-# boundaries), ann_ivf / ann_pq / media_features (iterative k-means
-# training / decode — but all expose driver-visible self-check columns:
+# boundaries), ann_pq / media_features (iterative codebook training /
+# decode — but all expose driver-visible self-check columns:
 # in_exact_top50, dims_match). Everything else is oracled — incl.
 # dedup_minhash/dedup_simhash/ngram_jaccard (r3/r5 sketch twins),
-# kde_per_group/dedup_minhash_verified (late r6), and ann_lsh (r7:
+# kde_per_group/dedup_minhash_verified (late r6), ann_lsh (r7:
 # portable-integer hyperplanes + count-derived signature width make the
-# whole probe pipeline SQL-replicable; see _ann_lsh_oracle below).
+# whole probe pipeline SQL-replicable; see _ann_lsh_oracle below), and
+# ann_ivf (r8: zero-iteration id-modulus stratified centroids make the IVF
+# pipeline SQL-replicable too; see _ann_ivf_oracle below).
 # The sketch keys (approx_quantiles, approx_distinct_users) are NOT here:
 # they hash-check by emitting the exact value plus an approx-within-ε gate.
 # Composed end-to-end key: the bigram-LM oracle wrapped with the quality
@@ -4280,6 +4294,56 @@ def _ann_lsh_oracle() -> str:
 
 
 ORACLE_SQL["ann_lsh"] = _ann_lsh_oracle()
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB twin of q_ann_ivf (r8 conversion, the ann_lsh precedent):
+    centroids = the corpus vectors at the id-modulus stride (s = count//16,
+    ids % s == 0 below 16*s, ascending-id centroid index — exactly
+    similarity.portable_ivf_centroids), cell assignment = argmin L2 with
+    ties to the lowest centroid index (exactly ivf_assign's first-min
+    array_position), probe set = the 4 centroids nearest the query (same
+    tie-break), then exact cosine re-scoring of the probed cells' members
+    with the (cosine DESC, vec_id) tie-break and the shared in_exact_top50
+    membership flag. list_distance's sqrt is monotone in ivf_assign's
+    squared-distance fold, so both engines order identical distances
+    identically."""
+    return """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        prm AS (SELECT greatest(count(*) // 16, 1) AS s FROM embeddings),
+        cent AS (
+          SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS cidx,
+                 CAST(e.embedding AS DOUBLE[]) AS cv
+          FROM embeddings e, prm
+          WHERE e.vec_id % prm.s = 0 AND e.vec_id < 16 * prm.s),
+        probes AS (
+          SELECT cidx FROM cent, q
+          ORDER BY list_distance(cv, q.qv), cidx LIMIT 4),
+        assign AS (
+          SELECT vec_id, cidx FROM (
+            SELECT e.vec_id, c.cidx,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cidx
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+        cands AS (
+          SELECT vec_id FROM assign WHERE cidx IN (SELECT cidx FROM probes)),
+        exact50 AS (
+          SELECT vec_id FROM (
+            SELECT vec_id,
+                   list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS c
+            FROM embeddings ORDER BY c DESC, vec_id LIMIT 50))
+        SELECT e.vec_id,
+               CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) AS DOUBLE)
+                 AS cosine,
+               e.vec_id IN (SELECT vec_id FROM exact50) AS in_exact_top50
+        FROM embeddings e JOIN cands USING (vec_id)
+        ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """
+
+
+ORACLE_SQL["ann_ivf"] = _ann_ivf_oracle()
 
 ORACLE_SQL["quality_filtered_sample"] = f"""
     SELECT * FROM ({ORACLE_SQL["bigram_lm_score"]})

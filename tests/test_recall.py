@@ -153,6 +153,48 @@ def test_ann_ivf_recall(spark, exact_top10):
     assert len(exact_top10 & got) / 10 >= 0.7
 
 
+def test_ann_ivf_portable_recall_catalog_config(spark, exact_top10):
+    """The q_ann_ivf configuration since r8 (exact-oracle conversion):
+    zero-iteration id-modulus stratified centroids, n_probe=4 of 16.
+    Measured 1.0 at sf0.01 AND sf0.1; floor one notch below."""
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    q = _query_vec(spark, SF_CORRECT)
+    got = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, q, k=10, n_centroids=16, n_probe=4, coarse="portable"
+        ).collect()
+    }
+    assert len(exact_top10 & got) / 10 >= 0.8
+
+
+def test_ann_ivf_portable_actually_buckets(spark):
+    """Mechanism sanity: the portable centroids must PARTITION the corpus
+    (balanced-ish cells), not degenerate to one cell — recall 1.0 with a
+    single occupied cell would mean the ANN is a full scan. Measured at
+    sf0.01: 16 occupied cells, max cell < 20% of the corpus, and the
+    4-probe candidate set covers < 60% of the corpus."""
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    n = emb.count()
+    cents = similarity.portable_ivf_centroids(emb, 16)
+    assert len(cents) == 16
+    cells = similarity.ivf_assign(emb, cents)
+    hist = {
+        r["ivf_cell"]: r["c"]
+        for r in cells.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert len(hist) >= 12
+    assert max(hist.values()) < 0.2 * n
+    q = _query_vec(spark, SF_CORRECT)
+    import numpy as np
+
+    C = np.array(cents)
+    d = ((C - np.array(q)[None, :]) ** 2).sum(axis=1)
+    probe = sorted(range(len(C)), key=lambda i: (d[i], i))[:4]
+    frac = sum(hist.get(p, 0) for p in probe) / n
+    assert frac < 0.6
+
+
 def test_ann_ivf_full_probe_is_exact(spark, exact_top10):
     emb = read_table(spark, SF_CORRECT, "embeddings")
     q = _query_vec(spark, SF_CORRECT)
