@@ -19,6 +19,12 @@ Two Spark modes, reported separately and never mixed:
   session-cached prepared DataFrame — service steady state, where Spark's
   unchanged-lineage shuffle-stage reuse legitimately skips completed map
   stages on immutable data. Much faster, but not operator cost.
+
+Distribution alongside the total (r8): ``ratio_median_per_query`` (the
+median of the per-query ratios) and ``ratio_vs_duckdb_excl_fetch_dominated``
+(the total with full-input-cardinality result sets excluded) are emitted so
+an aggregate carried by one fetch-heavy key cannot be read as "every query
+within Nx".
 """
 
 from __future__ import annotations

@@ -58,14 +58,19 @@ def main() -> None:
                 p = f"{p}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    # Same materialization conventions as bench.py: Spark results fetched
+    # via Arrow (.toPandas()), DuckDB via .df() — so the full-query rows
+    # here decompose the bench's own numbers, not a different fetch path
+    # (collect()'s py4j row serialization is ~4x slower on a 500k-row
+    # result and would mis-attribute fetch cost).
     def s_run(df_fn):
         t0 = time.perf_counter()
-        df_fn().collect()
+        df_fn().toPandas()
         return time.perf_counter() - t0
 
     def d_run(sql):
         t0 = time.perf_counter()
-        con.sql(sql).fetchall()
+        con.sql(sql).df()
         return time.perf_counter() - t0
 
     CASES: dict[str, tuple] = {
