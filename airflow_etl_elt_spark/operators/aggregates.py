@@ -52,6 +52,12 @@ _SELECT_MAX_ROWS = 1 << 17
 # selection is exact over whatever bracket the loop last produced.
 _MAX_HIST_LEVELS = 6
 
+#: input rows below which the selection's literal bounding-box pre-filter
+#: (and its extra driver job) is a net loss — breakeven measured between the
+#: 10x (6M-row, loss) and 100x (60M-row, 2x win) replicas; see
+#: _exact_median_from_bounds.
+_BOX_PREFILTER_MIN_ROWS = 20_000_000
+
 
 _PLAN_SIZE_CACHE: dict[tuple[str, int], int] = {}
 
@@ -164,6 +170,7 @@ def grouped_exact_median(
             tag=tag,
             levels_done=1,
             depth=_depth_for(total_rows),
+            input_rows=total_rows,
         )
     vd = F.col("__v")
     pre = vals.groupBy(group_col).agg(
@@ -402,6 +409,8 @@ def _exact_median_from_bounds(
     tag: str,
     levels_done: int = 0,
     depth: int | None = None,
+    input_rows: int | None = None,
+    co_materialize: DataFrame | None = None,
 ) -> DataFrame:
     """Refinement levels + tie-compressed selection of the histogram-
     bracketed exact median (see ``grouped_exact_median``). ``vals`` is
@@ -447,8 +456,19 @@ def _exact_median_from_bounds(
     # #groups-row bounds frame — the same bounded-action precedent as the
     # depth=None convergence collect, and it materializes a frame the
     # selection's broadcast needs anyway.
+    #
+    # SIZE-GATED (r8, measured at the 10x replica): the extra driver job
+    # costs one scheduling floor AND serializes the bounds scan ahead of
+    # stages that previously ran concurrently under the single final
+    # action — a net LOSS below ~4M input rows (grouped_stats at 6M rows:
+    # 2.6 -> 3.7 s ungated on a drifting box) and a 2x win at 60M. Callers
+    # that know the input cardinality (engine footer stats) pass it;
+    # unknown-N callers keep the join-only plan. `co_materialize` lets the
+    # caller hitch an independent same-input frame (grouped_stats' base
+    # aggregate) onto the pre-filter job, so the job's floor buys that
+    # stage's materialization too instead of pushing it behind the bounds.
     sel_input = vals
-    if nlevels >= 1:
+    if nlevels >= 1 and input_rows and input_rows >= _BOX_PREFILTER_MIN_ROWS:
         _B = float(_HIST_BUCKETS)
         _w = F.element_at("__ws", nlevels)
         _lo = F.element_at("__los", nlevels)
@@ -468,7 +488,12 @@ def _exact_median_from_bounds(
             F.max(
                 F.when(_finite & (_bhi < _B - 1), _lo + (_bhi + 2) * _w)
             ).alias("ghi"),
-        ).first()
+        )
+        if co_materialize is not None:
+            box = box.crossJoin(
+                co_materialize.agg(F.count(F.lit(1)).alias("__com_n"))
+            )
+        box = box.first()
         pre = None
         if box["lo_open"] == 0 and box["glo"] is not None:
             pre = v >= float(box["glo"])
@@ -657,6 +682,8 @@ def grouped_stats(
             tag=tag,
             levels_done=1,
             depth=_depth_for(total_rows),
+            input_rows=total_rows,
+            co_materialize=pre,
         )
     else:
         med = _exact_median_from_bounds(
