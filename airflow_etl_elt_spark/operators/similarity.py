@@ -53,24 +53,28 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    impl: str = "blas",
+    impl: str = "auto",
 ) -> DataFrame:
     """Exact top-k by cosine similarity to ``query_vec``.
 
     One scan, no shuffle until the final top-k merge; ties broken by id for
     determinism. Cosine of a zero vector is defined as 0 here.
 
-    Two scoring paths, both distributed and collect-free:
+    Two scoring paths, both distributed and collect-free; ``impl="auto"``
+    (default) picks by the Catalyst size estimate:
 
-    - ``impl="blas"`` (default): an Arrow-batched pandas_udf computes the
-      whole batch's scores as one NumPy matvec. Measured ~25%% faster
-      end-to-end than the JVM path at 64 dims even at 2 k vectors (the
-      higher-order-function fold is interpreted per element, NumPy is BLAS),
-      and the gap widens with dimension.
+    - ``impl="blas"``: an Arrow-batched pandas_udf computes the whole
+      batch's scores as one NumPy matvec. Faster at interactive corpus
+      sizes (measured ties or wins up to ~20k x 64-dim vectors), and the
+      advantage grows with DIMENSION (the HOF fold is interpreted per
+      element, NumPy is BLAS).
     - ``impl="jvm"``: built-in higher-order functions only — no Python
-      workers in the plan at all. Pick this where Python worker startup
-      dominates (tiny ad-hoc queries on a cold cluster) or where pure-JVM
-      plans are a deployment requirement.
+      workers in the plan at all. Wins once the Arrow export of the vector
+      column dominates (measured r8 at the 100x replica, 200k vectors:
+      0.37 vs 0.45 s — ~100 MB of column traffic the JVM path never pays),
+      and wherever pure-JVM plans are a deployment requirement. ``auto``
+      switches at a 16 MB plan estimate (between the measured 10x tie at
+      4.3 MB and the 100x jvm win at ~43 MB).
 
     Cost-gated single-partition regime (same rationale as ``exact_dedup``):
     a dimension-sized corpus scores and top-k's in ONE task — the
@@ -81,8 +85,11 @@ def cosine_topk(
     from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
     from airflow_etl_elt_spark.operators.relational import SINGLE_TASK_BYTES
 
-    if _plan_size_bytes(embeddings.select(id_col, vec_col)) < SINGLE_TASK_BYTES:
+    est = _plan_size_bytes(embeddings.select(id_col, vec_col))
+    if est < SINGLE_TASK_BYTES:
         embeddings = embeddings.coalesce(1)
+    if impl == "auto":
+        impl = "jvm" if est >= 16 * 1024 * 1024 else "blas"
     if impl == "blas":
         qv = np.asarray(query_vec, dtype=np.float64)
         qn = float(np.linalg.norm(qv)) or 1.0
