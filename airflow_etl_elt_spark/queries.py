@@ -1765,13 +1765,33 @@ def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q15 shape: top supplier by quarterly revenue (agg-of-agg). The
     per-supplier revenue aggregates once; the max is a one-row broadcast
     joined back — no window over the whole aggregate, no second scan of
-    lineitem."""
+    lineitem.
+
+    The revenue frame is PERSISTED (materialized) before the max/join fan-out
+    — a correctness requirement, not a cache optimization (r8 finding, caught
+    by the 10x sweep): ``rev`` feeds BOTH the max aggregate and the join
+    probe, and parallel float summation is only reproducible WITHIN one
+    computation — two instantiations of the same plan can disagree in the
+    last ulp once groups span enough addends (measured at 6M rows: DuckDB's
+    twice-referenced CTE produced max(total) ≠ every total and returned
+    EMPTY; Spark's ReusedExchange usually dedups the subtree but guarantees
+    nothing). Materializing pins one set of values for both consumers; the
+    oracle's fix is the single-reference window formulation. Float equality
+    across independently-computed aggregates is the anti-pattern."""
+    from airflow_etl_elt_spark.operators._cache import rotate_persist
+
     li = read_table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     s = read_table(spark, sf, "supplier")
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    rev = rotate_persist(
+        f"q15_rev:{sf}",
+        li.groupBy("l_suppkey").agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        ),
+        materialize=True,
     )
     top = rev.agg(F.max("total_revenue").alias("__max_rev"))
     return (
@@ -3488,15 +3508,24 @@ ORACLE_SQL: dict[str, str] = {
           AND l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
     """,
     "tpch_q15": """
+        -- single-reference window formulation (r8): the scalar-subquery form
+        -- references rev TWICE, and DuckDB's parallel float sums are only
+        -- reproducible within ONE instantiation — at the 10x replica
+        -- max(total) of instance A matched no total of instance B (last-ulp
+        -- divergence) and the query returned empty. rank() over the one
+        -- computed instance keeps tie semantics without cross-instance
+        -- float equality; the Spark side persists its rev frame for the
+        -- same reason (see q_tpch_q15).
         WITH rev AS (
           SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
           GROUP BY l_suppkey)
         SELECT s_suppkey, s_name, total_revenue
-        FROM rev, supplier
-        WHERE l_suppkey = s_suppkey
-          AND total_revenue = (SELECT max(total_revenue) FROM rev)
+        FROM (SELECT l_suppkey, total_revenue,
+                     rank() OVER (ORDER BY total_revenue DESC) AS __r
+              FROM rev) ranked, supplier
+        WHERE l_suppkey = s_suppkey AND __r = 1
         ORDER BY s_suppkey
     """,
     "tpch_q18": """
