@@ -356,13 +356,38 @@ def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
     'repeated n-gram' quality filter (Rae et al. 2021 §A1.1 describe the
     rule family; implemented from the description).
 
-    Entirely per-row (``array_distinct`` on the gram array): no shuffle, no
-    explode, linear scan — the cheapest possible shape at 100 TB. The ratio
-    is (total - distinct) / total as a double; integer inputs + one IEEE
-    division are bit-deterministic across engines, so the op is exactly
-    oracle-checkable.
+    Entirely per-row: no shuffle, no explode, linear scan — the cheapest
+    possible shape at 100 TB. The distinct count runs on HASHED grams
+    (``xxhash64`` of each n-token window), not materialized gram strings:
+    the dup_ratio only needs equality-within-document, and building the
+    space-joined strings was 87% of the operator (measured r8 at the 100x
+    replica: 4.80 → 0.72 s for 500k docs — per-gram string allocation vs
+    one 64-bit hash). Same exactness contract as ``exact_dedup``'s md5
+    grouping: a within-document xxhash64 collision (two DIFFERENT earlier/
+    later grams hashing equal) shifts n_distinct by one with probability
+    ~g²/2⁶⁵ per document (~3e-11 across a 500k-doc corpus, ~5e-5 at 1e12
+    docs); the DuckDB oracle keeps comparing true string grams, so the
+    committed sweeps would surface any collision as a hash mismatch.
+
+    The ratio is (total - distinct) / total as a double; integer inputs +
+    one IEEE division are bit-deterministic across engines, so the op is
+    exactly oracle-checkable.
     """
-    grams = with_word_ngrams(documents.select("doc_id", "text"), "text", n, "__g")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = documents.select("doc_id", ws_tokens(text).alias("__t"))
+    # same short-text guard as _ngrams_of: sequence() DESCENDS for
+    # start > stop, so fewer than n tokens must yield the empty index list
+    idx = F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1))
+    hashed = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(F.col("__t"), i + j) for j in range(n)]),
+    )
+    grams = toks.withColumn(
+        "__g",
+        F.when(F.size("__t") < n, F.array().cast("array<bigint>")).otherwise(
+            hashed
+        ),
+    )
     out = grams.select(
         "doc_id",
         F.size("__g").cast("bigint").alias("n_grams"),
