@@ -59,6 +59,40 @@ _MAX_HIST_LEVELS = 6
 _BOX_PREFILTER_MIN_ROWS = 20_000_000
 
 
+#: Fixed-point type for order-independent float aggregation (see dec_sum).
+DEC_SUM_TYPE = "decimal(18,6)"
+
+
+def dec_sum(col) -> F.Column:
+    """Order-independent sum of a float expression, returned as DOUBLE.
+
+    A plain double ``sum()`` depends on partition/merge order: two runs of
+    the same plan (or two engines) can differ in the last ulp, and when the
+    true value sits within that drift of a 9-significant-digit rounding
+    boundary, an exact value-hash comparison flips between runs (the
+    ``revenue_by_priority`` driver red in round 8; SCALING r8 addendum 2).
+
+    Fix in the query contract: round each ADDEND to DECIMAL(18,6) — exact
+    for the money×rate products of the TPC-H-shaped keys (≤4 true decimal
+    digits), deterministic round-to-nearest for anything else — then sum in
+    decimal, which is exact and associative, so no summation order can ever
+    change the result. The final cast back to double is a single correctly-
+    rounded conversion of one exact value, identical in every engine. The
+    decimal sum buffer (decimal(28,6) in Spark, DECIMAL(38,6) in DuckDB)
+    holds >1e21, so grand totals at 100 TB cannot overflow (a scaled-long
+    formulation would).
+    """
+    return F.sum(F.col(col).cast(DEC_SUM_TYPE) if isinstance(col, str) else col.cast(DEC_SUM_TYPE)).cast("double")
+
+
+def dec_avg(col) -> F.Column:
+    """Order-independent mean: exact decimal sum (see dec_sum) divided by the
+    non-null count in ONE IEEE double division — both operands are engine-
+    identical, so the quotient is too."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dec_sum(c) / F.count(c)
+
+
 _PLAN_SIZE_CACHE: dict[tuple[str, int], int] = {}
 
 
@@ -774,13 +808,15 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> Dat
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            # dec_sum/dec_avg: order-independent float aggregation — the
+            # 9-digit hash can never flip on summation order (r9 sweep).
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc_price).alias("sum_disc_price"),
+            dec_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -48,6 +48,8 @@ def revenue_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
         ordered_small,
     )
 
+    from airflow_etl_elt_spark.operators.aggregates import dec_sum
+
     if _plan_size_bytes(customer) < 64 * 1024 * 1024:
         cc = F.broadcast(customer)
         # broadcast probe + fused-small stream side = one fresh-build stage
@@ -58,7 +60,9 @@ def revenue_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
         orders.join(cc, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sum("o_totalprice").alias("total_price"),
+            # order-independent decimal sum: the hash can't flip on summation
+            # order (r9 float-sum determinism sweep; see aggregates.dec_sum)
+            dec_sum("o_totalprice").alias("total_price"),
             F.count(F.lit(1)).alias("order_cnt"),
         ),
         "c_mktsegment",
@@ -90,6 +94,7 @@ def revenue_by_priority(
     from airflow_etl_elt_spark.operators.aggregates import (
         _MEDIAN_SMALL_BYTES,
         _plan_size_bytes,
+        dec_sum,
     )
     from airflow_etl_elt_spark.operators.relational import fuse_small_input
 
@@ -99,7 +104,7 @@ def revenue_by_priority(
             li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
             .groupBy("o_orderpriority")
             .agg(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                     "revenue"
                 ),
                 F.count(F.lit(1)).alias("line_cnt"),
@@ -126,7 +131,7 @@ def revenue_by_priority(
         lineitem.join(build, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("line_cnt"),
         )
         .orderBy("o_orderpriority")
@@ -216,7 +221,10 @@ def top_revenue_orders(
     TakeOrderedAndProject — each partition keeps its local top-k, the driver
     merges k rows, no global sort materializes. Tie-broken by o_orderkey.
     """
-    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+    from airflow_etl_elt_spark.operators.aggregates import (
+        _plan_size_bytes,
+        dec_sum,
+    )
 
     segment_orders = (
         customer.filter(F.col("c_mktsegment") == segment)
@@ -253,7 +261,7 @@ def top_revenue_orders(
     return (
         lineitem.join(segment_orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(k)
     )

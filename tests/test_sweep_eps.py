@@ -21,6 +21,28 @@ _SPEC.loader.exec_module(sweep_oracle)
 
 float_eps_match = sweep_oracle.float_eps_match
 EPS_PER_ADDEND = sweep_oracle.EPS_PER_ADDEND
+EPS_REL_CEILING = sweep_oracle.EPS_REL_CEILING
+
+
+def test_eps_budget_is_hard_capped():
+    """ADVICE r8 (medium): the n_addends = max-view-rows / output-rows
+    heuristic wildly overestimates for small-output keys (the 100x spot
+    sweep derived eps_rel=3e-6 for tpch_q10 — above the module's own
+    '>=1e-6 relative = logic bug' floor). The derived budget must cap at
+    EPS_REL_CEILING, which stays orders of magnitude above any observed
+    associativity drift (max measured 4.4e-16 relative) and below the
+    logic-bug floor."""
+    assert EPS_REL_CEILING <= 1e-8
+    assert EPS_REL_CEILING >= 1e-10
+    n_addends = 60_000_000 / 20  # the 100x q10 shape that overshot
+    derived = min(EPS_PER_ADDEND * n_addends, EPS_REL_CEILING)
+    assert derived == EPS_REL_CEILING
+    # a ~1e-7-relative divergence (wrong filter dropping a few rows from a
+    # large aggregate) must now FAIL even for small-output keys
+    a = _q10_like()
+    b = [row[:-1] + (row[-1] * (1 + 3e-7),) for row in a]
+    ok, _, reason = float_eps_match(a, b, derived)
+    assert not ok and "rel=" in reason
 
 
 def _q10_like(revenue_shift=0.0):
