@@ -59,8 +59,10 @@ _MAX_HIST_LEVELS = 6
 _BOX_PREFILTER_MIN_ROWS = 20_000_000
 
 
-#: Fixed-point type for order-independent float aggregation (see dec_sum).
-DEC_SUM_TYPE = "decimal(18,6)"
+#: Fixed-point addend type for order-independent float aggregation: the
+#: 1e-6-grid integers land in DECIMAL(18,0) whose Spark sum buffer
+#: (decimal(28,0)) stays on the compact-long fast path (see dec_sum).
+DEC_SUM_TYPE = "decimal(18,0)"
 
 
 def dec_sum(col) -> F.Column:
@@ -72,21 +74,40 @@ def dec_sum(col) -> F.Column:
     boundary, an exact value-hash comparison flips between runs (the
     ``revenue_by_priority`` driver red in round 8; SCALING r8 addendum 2).
 
-    Fix in the query contract: round each ADDEND to DECIMAL(18,6) — exact
-    for the money×rate products of the TPC-H-shaped keys (≤4 true decimal
-    digits), deterministic round-to-nearest for anything else — then sum in
-    decimal, which is exact and associative, so no summation order can ever
-    change the result. The final cast back to double is a single correctly-
-    rounded conversion of one exact value, identical in every engine. The
-    decimal sum buffer (decimal(28,6) in Spark, DECIMAL(38,6) in DuckDB)
-    holds >1e21, so grand totals at 100 TB cannot overflow (a scaled-long
-    formulation would).
+    Fix in the query contract: put each ADDEND on a fixed 1e-6 grid —
+    ``floor(x * 1e6 + 0.5)`` — which is exact for the money×rate products of
+    the TPC-H-shaped keys (≤6 true decimal digits) and a deterministic,
+    engine-identical rounding for anything else; then sum the grid integers
+    EXACTLY, so no summation order can ever change the result. The final
+    cast back to double + one division is computed from one exact value,
+    identically in every engine.
+
+    Formulation, measured (tpch_q1 at sf0.1, 7 aggregates over 590k rows;
+    plain double sums 0.35 s):
+    - per-addend ``CAST(x AS DECIMAL(18,6))``: 1.09 s — Spark's double→
+      decimal cast allocates a java BigDecimal per row (so does F.round on
+      doubles);
+    - ``floor(x*1e6 + 0.5)`` (primitive) summed as LONG: 0.40 s — but a
+      long grand total WRAPS silently at ~9.2e12 raw, which a 100 TB
+      per-group revenue exceeds;
+    - floor grid cast LONG→DECIMAL(18,0) (compact, no BigDecimal) and
+      summed in decimal: 0.69 s — the decimal(28,0) sum buffer stays on
+      Spark's compact-long fast path until 1e18 and is exact to 1e38, so
+      grand totals at 100 TB cannot overflow. This is the shape used here.
+    All three produce bit-identical results where they are defined; the
+    oracle twin is ``CAST(sum(CAST(floor((x) * 1000000.0 + 0.5) AS
+    DECIMAL(18,0))) AS DOUBLE) / 1000000.0`` (DuckDB sums DECIMAL(18,0)
+    into exact DECIMAL(38,0)). NaN/Inf inputs are outside the contract
+    (fixture money/rate/measure columns carry neither; Spark's non-ANSI
+    double→long cast of NaN is 0 where DuckDB errors).
     """
-    return F.sum(F.col(col).cast(DEC_SUM_TYPE) if isinstance(col, str) else col.cast(DEC_SUM_TYPE)).cast("double")
+    c = F.col(col) if isinstance(col, str) else col
+    grid = F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(DEC_SUM_TYPE)
+    return F.sum(grid).cast("double") / F.lit(1e6)
 
 
 def dec_avg(col) -> F.Column:
-    """Order-independent mean: exact decimal sum (see dec_sum) divided by the
+    """Order-independent mean: exact grid sum (see dec_sum) divided by the
     non-null count in ONE IEEE double division — both operands are engine-
     identical, so the quotient is too."""
     c = F.col(col) if isinstance(col, str) else col

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from airflow_etl_elt_spark.operators.aggregates import dec_sum
+
 
 def sliding_hourly_agg(events: DataFrame, slide_minutes: int = 30) -> DataFrame:
     """SLIDING 1-hour window (slide < width ⇒ overlapping windows): count +
@@ -30,7 +32,7 @@ def sliding_hourly_agg(events: DataFrame, slide_minutes: int = 30) -> DataFrame:
     w = F.window("ts", "60 minutes", f"{slide_minutes} minutes")
     return (
         events.groupBy(w.alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
         .select(
             F.unix_seconds(F.col("w.start")).alias("bucket_epoch"),
             "n_events",
@@ -67,7 +69,9 @@ def hourly_agg(events: DataFrame) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("value").alias("sum_value"),
+            # order-independent grid sum (r9 float-sum determinism; see
+            # aggregates.dec_sum) — shared by the stream twin via this impl
+            dec_sum("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("hour_start"),
@@ -89,7 +93,7 @@ def daily_user_activity(events: DataFrame) -> DataFrame:
         .groupBy("event_date", "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            dec_sum("value").alias("total_value"),
         )
     )
 

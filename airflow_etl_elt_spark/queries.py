@@ -1121,9 +1121,9 @@ def q_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
         dec_sum(F.abs(F.col("l_discount") - 0.05)).alias("sum_abs"),
         F.sum(F.ceil(F.col("l_quantity")).cast("bigint")).alias("sum_ceil"),
         F.sum(F.floor(F.col("l_quantity")).cast("bigint")).alias("sum_floor"),
-        # irrational per-row terms: DECIMAL(18,6) rounds each addend on a
-        # fixed grid (deterministically, identically in both engines), then
-        # sums exactly — the 6-decimal addend grid IS the key's contract
+        # irrational per-row terms: the 1e-6 grid rounds each addend
+        # deterministically and identically in both engines, then sums
+        # exactly — the 6-decimal addend grid IS the key's contract
         dec_sum(F.sqrt(F.col("l_extendedprice"))).alias("sum_sqrt"),
         dec_sum(F.log(F.col("l_extendedprice") + 1.0)).alias("sum_ln"),
         dec_sum(F.pow(F.col("l_discount"), 2)).alias("sum_pow"),
@@ -1291,7 +1291,7 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                count(*) AS cnt,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+               (CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS sum_price
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -3075,13 +3075,13 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY n_nationkey
     """,
     "revenue_by_segment": """
-        SELECT c_mktsegment, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price, count(*) AS order_cnt
+        SELECT c_mktsegment, (CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS total_price, count(*) AS order_cnt
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "revenue_by_priority": """
         SELECT o_orderpriority,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS revenue,
                count(*) AS line_cnt
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -3093,20 +3093,20 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-               (CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity)) AS avg_qty,
-               (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice)) AS avg_price,
-               (CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount)) AS avg_disc,
+               (CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS sum_qty,
+               (CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS sum_base_price,
+               (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS sum_disc_price,
+               (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS sum_charge,
+               ((CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) / count(l_quantity)) AS avg_qty,
+               ((CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) / count(l_extendedprice)) AS avg_price,
+               ((CAST(sum(CAST(floor((l_discount) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) / count(l_discount)) AS avg_disc,
                count(*)                                              AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
     """,
     "tpch_q3": """
         SELECT o_orderkey, o_orderdate,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+               (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS revenue
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON o_orderkey = l_orderkey
         WHERE c_mktsegment = 'BUILDING'
@@ -3137,12 +3137,12 @@ ORACLE_SQL: dict[str, str] = {
     # time series
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour_start, event_type,
-               count(*) AS cnt, sum(value) AS sum_value
+               count(*) AS cnt, (CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS sum_value
         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "events_daily_user": """
         SELECT CAST(ts AS DATE) AS event_date, user_id,
-               count(*) AS n_events, sum(value) AS total_value
+               count(*) AS n_events, (CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "json_extract": """
@@ -3193,7 +3193,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "orders_by_year": """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+               count(*) AS cnt, (CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS total_price
         FROM orders GROUP BY 1 ORDER BY 1
     """,
     # text
@@ -3262,7 +3262,7 @@ ORACLE_SQL: dict[str, str] = {
     # rollup / pivot / set ops / quantiles / conditional
     "rollup_revenue": """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price, count(*) AS cnt
+               (CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS total_price, count(*) AS cnt
         FROM orders
         GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
     """,
@@ -3302,7 +3302,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "conditional_agg": """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS urgent_price,
+               (CAST(sum(CAST(floor((CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS urgent_price,
                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_cnt,
                count(*) AS total_cnt
         FROM orders GROUP BY 1
@@ -3310,7 +3310,7 @@ ORACLE_SQL: dict[str, str] = {
     "date_parts": """
         SELECT CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
                CAST(month(o_orderdate) AS INTEGER) AS o_month,
-               count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+               count(*) AS cnt, (CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS total_price
         FROM orders GROUP BY 1, 2
     """,
     "max_by_priority": """
@@ -3366,7 +3366,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "left_join_zero_counts": """
         SELECT c_custkey, count(o_orderkey) AS order_cnt,
-               coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS total_price
+               coalesce((CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0), 0.0) AS total_price
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
     """,
@@ -3381,7 +3381,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
     """,
     "cube_counts": """
-        SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt, (CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS sum_qty
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "window_ranks": """
@@ -3394,13 +3394,13 @@ ORACLE_SQL: dict[str, str] = {
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
     """,
     "math_funcs": """
-        SELECT CAST(sum(CAST(round(l_extendedprice, 1) AS DECIMAL(18,6))) AS DOUBLE) AS sum_round,
-               CAST(sum(CAST(abs(l_discount - 0.05) AS DECIMAL(18,6))) AS DOUBLE) AS sum_abs,
+        SELECT (CAST(sum(CAST(floor((round(l_extendedprice, 1)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS sum_round,
+               (CAST(sum(CAST(floor((abs(l_discount - 0.05)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS sum_abs,
                CAST(sum(ceil(l_quantity)) AS BIGINT) AS sum_ceil,
                CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_floor,
-               CAST(sum(CAST(sqrt(l_extendedprice) AS DECIMAL(18,6))) AS DOUBLE) AS sum_sqrt,
-               CAST(sum(CAST(ln(l_extendedprice + 1.0) AS DECIMAL(18,6))) AS DOUBLE) AS sum_ln,
-               CAST(sum(CAST(pow(l_discount, 2) AS DECIMAL(18,6))) AS DOUBLE) AS sum_pow
+               (CAST(sum(CAST(floor((sqrt(l_extendedprice)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS sum_sqrt,
+               (CAST(sum(CAST(floor((ln(l_extendedprice + 1.0)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS sum_ln,
+               (CAST(sum(CAST(floor((pow(l_discount, 2)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS sum_pow
         FROM lineitem
     """,
     "string_funcs2": """
@@ -3430,7 +3430,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # subqueries / multi-join / grouping sets / date suites
     "tpch_q5_local_revenue": """
-        SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        SELECT n_name, (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -3439,7 +3439,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY n_name
     """,
     "tpch_q6": """
-        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        SELECT (CAST(sum(CAST(floor((l_extendedprice * l_discount) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -3447,7 +3447,7 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q7": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INTEGER) AS l_year,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume
+               (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS volume
         FROM lineitem, orders, supplier, customer, nation n1, nation n2
         WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
           AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
@@ -3459,8 +3459,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "tpch_q8": """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
-               / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+               (CAST(sum(CAST(floor((CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0)
+               / (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS mkt_share
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -3475,7 +3475,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "tpch_q10": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+               (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS revenue
         FROM lineitem, orders, customer, nation
         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
           AND c_nationkey = n_nationkey AND l_returnflag = 'R'
@@ -3493,15 +3493,15 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY custdist DESC, c_count DESC
     """,
     "tpch_q17": """
-        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        SELECT (CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) / 7.0 AS avg_yearly
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#1'
-          AND l_quantity < (SELECT 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity))
+          AND l_quantity < (SELECT 0.5 * ((CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) / count(l_quantity))
                             FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
     """,
     "tpch_q14": """
-        SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
-               / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue_pct
+        SELECT 100.0 * (CAST(sum(CAST(floor((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0)
+               / (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS promo_revenue_pct
         FROM lineitem, part
         WHERE l_partkey = p_partkey
           AND l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -3516,7 +3516,7 @@ ORACLE_SQL: dict[str, str] = {
         -- float equality; the Spark side persists its rev frame for the
         -- same reason (see q_tpch_q15).
         WITH rev AS (
-          SELECT l_suppkey, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+          SELECT l_suppkey, (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
           GROUP BY l_suppkey)
@@ -3530,14 +3530,14 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q18": """
         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
         FROM orders
-        JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        JOIN (SELECT l_orderkey, (CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS total_qty
               FROM lineitem GROUP BY l_orderkey
-              HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 200) big ON o_orderkey = big.l_orderkey
+              HAVING (CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) > 200) big ON o_orderkey = big.l_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
     "tpch_q19": """
-        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        SELECT (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS revenue
         FROM lineitem, part
         WHERE l_partkey = p_partkey AND (
              (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
@@ -3545,10 +3545,10 @@ ORACLE_SQL: dict[str, str] = {
           OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50))
     """,
     "tpch_q22": """
-        SELECT n_name, count(*) AS numcust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        SELECT n_name, count(*) AS numcust, (CAST(sum(CAST(floor((c_acctbal) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS totacctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
-        WHERE c_acctbal > (SELECT (CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(c_acctbal)) FROM customer WHERE c_acctbal > 0)
+        WHERE c_acctbal > (SELECT ((CAST(sum(CAST(floor((c_acctbal) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) / count(c_acctbal)) FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -3592,9 +3592,9 @@ ORACLE_SQL: dict[str, str] = {
                    JOIN supplier ON ps_suppkey = s_suppkey
                    JOIN nation ON s_nationkey = n_nationkey
                    WHERE n_name = 'NATION_3')
-        SELECT ps_partkey, CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS ps_value FROM scoped
+        SELECT ps_partkey, (CAST(sum(CAST(floor((v) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS ps_value FROM scoped
         GROUP BY ps_partkey
-        HAVING CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) > (SELECT CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) * 0.001 FROM scoped)
+        HAVING (CAST(sum(CAST(floor((v) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) > (SELECT (CAST(sum(CAST(floor((v) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) * 0.001 FROM scoped)
         ORDER BY ps_value DESC, ps_partkey
     """,
     "tpch_q16": f"""
@@ -3608,7 +3608,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "tpch_q20": f"""
         WITH {PARTSUPP_ORACLE_CTE},
-        shipped AS (SELECT l_partkey, l_suppkey, 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS half_qty
+        shipped AS (SELECT l_partkey, l_suppkey, 0.5 * (CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS half_qty
                     FROM lineitem
                     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -3686,7 +3686,7 @@ ORACLE_SQL: dict[str, str] = {
           UNION ALL
           SELECT s0 - 1800 AS ws, value FROM cand
         )
-        SELECT ws AS bucket_epoch, count(*) AS n_events, sum(value) AS total_value
+        SELECT ws AS bucket_epoch, count(*) AS n_events, (CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS total_value
         FROM membership GROUP BY ws
     """,
     "exists_big_order": """
@@ -3696,11 +3696,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "scalar_above_avg": """
         SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > (SELECT (CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(o_totalprice)) * 1.5 FROM orders)
+        WHERE o_totalprice > (SELECT ((CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) / count(o_totalprice)) * 1.5 FROM orders)
     """,
     "having_order_qty": """
-        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
-        FROM lineitem GROUP BY l_orderkey HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 250
+        SELECT l_orderkey, (CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING (CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) > 250
     """,
     "window_lead_first_last": """
         SELECT event_id, user_id,
@@ -3715,7 +3715,7 @@ ORACLE_SQL: dict[str, str] = {
     "grouping_sets": """
         SELECT l_returnflag, l_linestatus,
                count(*) AS cnt,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+               (CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS sum_price
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -3827,7 +3827,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "salted_revenue_by_segment": """
         SELECT c_mktsegment,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+               (CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) / 1000000.0) AS total_price,
                count(*) AS order_cnt
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
