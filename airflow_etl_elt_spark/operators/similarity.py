@@ -705,6 +705,87 @@ def pq_train(
     return books
 
 
+def portable_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+) -> "list[list[list[float]]]":
+    """Engine-portable PQ codebooks (the ann_pq analogue of
+    ``portable_ivf_centroids``, r9): take the ``ksub`` corpus vectors at the
+    id-modulus stride — the identical selection the IVF oracle rebuilds in
+    SQL — and let subspace ``s``'s codebook be their ``s``-th subvectors.
+    Zero Lloyd iterations, no normalization (raw float→double is exact), so
+    a SQL oracle derives the IDENTICAL codebooks from ``count(*)`` + id
+    arithmetic + list slicing, making the whole PQ pipeline hash-checkable
+    the way ann_lsh (r7) and ann_ivf (r8) became. Quality is gated
+    independently (recall/self-check); the seeded-Lloyd ``pq_train`` path
+    remains the quality/tuning path."""
+    rows = portable_ivf_centroids(embeddings, ksub, id_col, vec_col, corpus_count)
+    dim = len(rows[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [row[s * dsub : (s + 1) * dsub] for row in rows] for s in range(m)
+    ]
+
+
+def pq_encode_jvm(
+    embeddings: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """JVM-only PQ encoding — the engine-portable twin of ``pq_encode``:
+    per subspace, squared-L2 to each centroid is the identical left fold the
+    SQL oracle runs (``aggregate`` over ``zip_with`` with a 0.0 seed, the
+    ``ivf_assign`` kernel), and argmin ties break to the lowest centroid
+    index (``array_position`` = first occurrence ↔ the oracle's
+    ``row_number() ORDER BY dist, cidx``). No normalization and no NumPy:
+    every input reaches the fold as the exact float→double of the stored
+    value, so codes are bit-reproducible across engines. Whole-stage
+    codegen end-to-end (m·ksub fold expressions — 128 at 8×16); at scale
+    this is the same scan-side map as ``ivf_assign``, no shuffle."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def sub_dists(s: int):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in codebooks[s]
+            ]
+        )
+
+    # Materialize each subspace's distance array once (the ivf_assign
+    # move: array_position + array_min both read it; inlining would clone
+    # every fold tree twice).
+    out = embeddings
+    for s in range(m):
+        out = out.withColumn(f"__pqd{s}", sub_dists(s))
+    code = F.array(
+        *[
+            (
+                F.array_position(F.col(f"__pqd{s}"), F.array_min(F.col(f"__pqd{s}"))) - 1
+            ).cast("int")
+            for s in range(m)
+        ]
+    )
+    return out.withColumn(out_col, code).drop(*[f"__pqd{s}" for s in range(m)])
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: "list[list[list[float]]]",
@@ -751,6 +832,8 @@ def pq_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: str = "kmeans",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via PQ asymmetric distance, exact-rescored.
 
@@ -762,11 +845,25 @@ def pq_topk(
     candidates (the standard select-coarse/rescore-exact pattern), so the
     returned scores are true cosines and ties rank identically to the exact
     operators.
+
+    ``codebooks="kmeans"`` trains seeded Lloyd per subspace (the quality /
+    tuning path); ``codebooks="portable"`` uses ``portable_pq_codebooks`` +
+    the JVM left-fold encoder and a left-fold LUT, so every ADC score is
+    BIT-IDENTICAL to the SQL oracle's — the exact-oracle path (r9, the
+    ann_lsh/ann_ivf precedent). ADC ties break by id on both engines.
     """
-    books = pq_train(embeddings, m, ksub, seed=seed, vec_col=vec_col)
-    encoded = pq_encode(embeddings, books, vec_col)
+    if codebooks == "portable":
+        books = portable_pq_codebooks(
+            embeddings, m, ksub, id_col, vec_col, corpus_count
+        )
+        encoded = pq_encode_jvm(embeddings, books, vec_col)
+        adc = _adc_col(books, query_vec, normalize=False, fold="left")
+    else:
+        books = pq_train(embeddings, m, ksub, seed=seed, vec_col=vec_col)
+        encoded = pq_encode(embeddings, books, vec_col)
+        adc = _adc_col(books, query_vec)
     cands = (
-        encoded.withColumn("__adc", _adc_col(books, query_vec))
+        encoded.withColumn("__adc", adc)
         .orderBy(F.col("__adc").asc(), id_col)
         .limit(rerank)
     )
@@ -774,18 +871,44 @@ def pq_topk(
 
 
 def _adc_col(
-    books: "list[list[list[float]]]", query_vec: "list[float]", code_col: str = "pq_code"
+    books: "list[list[list[float]]]",
+    query_vec: "list[float]",
+    code_col: str = "pq_code",
+    normalize: bool = True,
+    fold: str = "numpy",
 ):
     """ADC score column for one query: m × ksub lookup table built once on
-    the driver, each row scored by m JVM array lookups summed."""
-    q = np.array(query_vec, dtype=np.float64)
-    q /= max(float(np.linalg.norm(q)), 1e-12)
+    the driver, each row scored by m JVM array lookups summed.
+
+    ``fold="left"`` (+ ``normalize=False``) computes each LUT entry as an
+    explicit left-to-right IEEE fold over raw query/centroid doubles — the
+    identical operation order (and identical float→double inputs) as the
+    SQL oracle's ``list_reduce(list_prepend(0.0, …))``, so portable-codebook
+    ADC scores are bit-identical across engines (equal codes ⇒ equal scores
+    ⇒ ties break by id the same way everywhere)."""
     m = len(books)
-    dsub = len(q) // m
-    luts = []
-    for s, C in enumerate(np.array(b, dtype=np.float64) for b in books):
-        qs = q[s * dsub : (s + 1) * dsub]
-        luts.append([float(((qs - c) ** 2).sum()) for c in C])
+    dsub = len(query_vec) // m
+    if fold == "left":
+        q = [float(x) for x in query_vec]
+        luts = []
+        for s, C in enumerate(books):
+            qs = q[s * dsub : (s + 1) * dsub]
+            row = []
+            for c in C:
+                acc = 0.0
+                for a, b in zip(qs, c):
+                    d = a - float(b)
+                    acc = acc + d * d
+                row.append(acc)
+            luts.append(row)
+    else:
+        q = np.array(query_vec, dtype=np.float64)
+        if normalize:
+            q /= max(float(np.linalg.norm(q)), 1e-12)
+        luts = []
+        for s, C in enumerate(np.array(b, dtype=np.float64) for b in books):
+            qs = q[s * dsub : (s + 1) * dsub]
+            luts.append([float(((qs - c) ** 2).sum()) for c in C])
     lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in luts])
     return F.aggregate(
         F.zip_with(

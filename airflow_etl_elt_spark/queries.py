@@ -1552,7 +1552,7 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     of the corpus (measured at sf0.1) with recall@10 = 1.0; the recall gate
     lives in tests/test_recall.py and the output keeps the driver-visible
     ``in_exact_top50`` flag. The seeded-Lloyd quality path remains available
-    as ``ivf_topk(coarse="kmeans")`` (ann_pq still trains it)."""
+    as ``ivf_topk(coarse="kmeans")`` (build_ivfpq_index still trains it)."""
     emb = read_table(spark, sf, "embeddings")
     qv = _query_vec(spark, sf)
     approx = similarity.ivf_topk(
@@ -1570,12 +1570,23 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     """PQ ANN: 8×16 product-quantized codes (~64x vector compression), ADC
-    scan + exact rescore of the top-50 candidates. Rows-only (iterative
-    codebook training has no SQL twin) with the same driver-visible
-    self-check as ann_ivf: ``in_exact_top50`` per returned row."""
+    scan + exact rescore of the top-50 candidates. EXACT-ORACLED as of r9
+    (VERDICT r8 stretch 6, completing the ann_lsh r7 / ann_ivf r8 series):
+    ``similarity.portable_pq_codebooks`` takes the 16 id-modulus stride
+    vectors (the IVF oracle's centroid selection) and slices them per
+    subspace — zero Lloyd iterations, no normalization — and both the
+    JVM encoder and the driver-built LUT compute squared-L2 as the
+    identical left fold the DuckDB twin runs, so codes AND ADC scores are
+    bit-identical across engines and the rerank-50 candidate set cannot
+    diverge even at an ADC tie. Returned scores are exact cosines; the
+    driver-visible ``in_exact_top50`` self-check stays. The seeded-Lloyd
+    ``pq_train`` path remains the quality/tuning path (pq_topk default,
+    still exercised by build_ivfpq_index / tests)."""
     emb = read_table(spark, sf, "embeddings")
     qv = _query_vec(spark, sf)
-    approx = similarity.pq_topk(emb, qv, k=10, m=8, ksub=16, rerank=50)
+    approx = similarity.pq_topk(
+        emb, qv, k=10, m=8, ksub=16, rerank=50, codebooks="portable"
+    )
     return _with_exact_top50(approx, emb, qv)
 
 
@@ -4256,15 +4267,16 @@ ORACLE_SQL: dict[str, str] = {
 # Keys intentionally WITHOUT oracle SQL (driver records rows-only check):
 # sample_frac (seed semantics differ), bpe_merges (iterative argmax
 # merges), pack_sequences (packing follows sampled range-partition
-# boundaries), ann_pq / media_features (iterative codebook training /
-# decode — but all expose driver-visible self-check columns:
-# in_exact_top50, dims_match). Everything else is oracled — incl.
+# boundaries), media_features (decode — exposes the dims_match
+# self-check column). Everything else is oracled — incl.
 # dedup_minhash/dedup_simhash/ngram_jaccard (r3/r5 sketch twins),
 # kde_per_group/dedup_minhash_verified (late r6), ann_lsh (r7:
 # portable-integer hyperplanes + count-derived signature width make the
-# whole probe pipeline SQL-replicable; see _ann_lsh_oracle below), and
+# whole probe pipeline SQL-replicable; see _ann_lsh_oracle below),
 # ann_ivf (r8: zero-iteration id-modulus stratified centroids make the IVF
-# pipeline SQL-replicable too; see _ann_ivf_oracle below).
+# pipeline SQL-replicable too; see _ann_ivf_oracle below), and ann_pq
+# (r9: stride-row per-subspace codebooks + left-fold encoder/LUT make
+# codes and ADC scores bit-identical across engines; _ann_pq_oracle).
 # The sketch keys (approx_quantiles, approx_distinct_users) are NOT here:
 # they hash-check by emitting the exact value plus an approx-within-ε gate.
 # Composed end-to-end key: the bigram-LM oracle wrapped with the quality
@@ -4375,6 +4387,71 @@ def _ann_ivf_oracle() -> str:
 
 
 ORACLE_SQL["ann_ivf"] = _ann_ivf_oracle()
+
+
+def _ann_pq_oracle() -> str:
+    """DuckDB twin of q_ann_pq (r9 conversion): stride rows = the IVF
+    oracle's cent CTE at ksub=16; subspace s's codebook = components
+    [s*8+1 .. s*8+8] of each stride vector (DuckDB list slicing is 1-based
+    end-inclusive, mirroring Spark's F.slice(vec, s*8+1, 8)); per-(vector,
+    subspace) code = argmin of the left-fold squared L2 with ties to the
+    lowest centroid index (row_number ORDER BY dist, cidx ↔ Spark's
+    first-occurrence array_position); ADC = the s-ordered left fold of the
+    query's LUT entries (list_reduce over list(d ORDER BY s) — NOT sum(),
+    whose accumulation order is unspecified); candidates = ADC-ascending
+    top-50 with id tie-break; then exact cosine rescore with the shared
+    (cosine DESC, vec_id) tie-break and in_exact_top50 flag. Every distance
+    both engines rank is built by the identical IEEE fold over identical
+    float→double inputs, so codes, LUTs, ADC scores, and the candidate set
+    are bit-equal — no near-tie can split the engines."""
+    sqd = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+        " x -> (x[1] - x[2]) * (x[1] - x[2]))), (acc, v) -> acc + v)"
+    )
+    sub = "[subs.s * 8 + 1 : subs.s * 8 + 8]"
+    return f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        prm AS (SELECT greatest(count(*) // 16, 1) AS s FROM embeddings),
+        cent AS (
+          SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS cidx,
+                 CAST(e.embedding AS DOUBLE[]) AS cv
+          FROM embeddings e, prm
+          WHERE e.vec_id % prm.s = 0 AND e.vec_id < 16 * prm.s),
+        subs AS (SELECT range AS s FROM range(8)),
+        enc AS (
+          SELECT vec_id, s, cidx FROM (
+            SELECT e.vec_id, subs.s, c.cidx,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id, subs.s
+                     ORDER BY {sqd.format(a="CAST(e.embedding AS DOUBLE[])" + sub, b="c.cv" + sub)}, c.cidx
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cent c CROSS JOIN subs) WHERE rn = 1),
+        lut AS (
+          SELECT subs.s, c.cidx,
+                 {sqd.format(a="q.qv" + sub, b="c.cv" + sub)} AS d
+          FROM cent c CROSS JOIN subs, q),
+        adc AS (
+          SELECT enc.vec_id,
+                 list_reduce(list_prepend(0.0, list(lut.d ORDER BY enc.s)),
+                             (acc, v) -> acc + v) AS a
+          FROM enc JOIN lut ON lut.s = enc.s AND lut.cidx = enc.cidx
+          GROUP BY enc.vec_id),
+        cands AS (SELECT vec_id FROM adc ORDER BY a, vec_id LIMIT 50),
+        exact50 AS (
+          SELECT vec_id FROM (
+            SELECT vec_id,
+                   list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS c
+            FROM embeddings ORDER BY c DESC, vec_id LIMIT 50))
+        SELECT e.vec_id,
+               CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) AS DOUBLE)
+                 AS cosine,
+               e.vec_id IN (SELECT vec_id FROM exact50) AS in_exact_top50
+        FROM embeddings e JOIN cands USING (vec_id)
+        ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """
+
+
+ORACLE_SQL["ann_pq"] = _ann_pq_oracle()
 
 ORACLE_SQL["quality_filtered_sample"] = f"""
     SELECT * FROM ({ORACLE_SQL["bigram_lm_score"]})

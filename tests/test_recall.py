@@ -312,6 +312,62 @@ def test_ann_pq_recall(spark, exact_top10):
     assert len(exact_top10 & got) / 10 >= 0.8
 
 
+def test_ann_pq_portable_recall_catalog_config(spark, exact_top10):
+    """The q_ann_pq configuration since r9 (exact-oracle conversion):
+    stride-row codebooks, zero Lloyd iterations, JVM left-fold encoder.
+    Measured 1.0 at sf0.01 (rerank=50 absorbs the coarser codebooks);
+    floor one notch below like the ivf twin."""
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    q = _query_vec(spark, SF_CORRECT)
+    got = {
+        r["vec_id"]
+        for r in similarity.pq_topk(
+            emb, q, k=10, m=8, ksub=16, rerank=50, codebooks="portable"
+        ).collect()
+    }
+    assert len(exact_top10 & got) / 10 >= 0.8
+
+
+def test_ann_pq_portable_codes_not_degenerate(spark):
+    """Mechanism sanity for the portable codebooks: codes must actually
+    discriminate (a degenerate all-rows-same-code corpus would make the
+    ADC ranking a no-op and the 'ANN' a fancy LIMIT 50). Require a healthy
+    number of distinct full codes and >1 distinct index per subspace."""
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    n = emb.count()
+    books = similarity.portable_pq_codebooks(emb, m=8, ksub=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    rows = similarity.pq_encode_jvm(emb, books).select("pq_code").collect()
+    codes = [tuple(r["pq_code"]) for r in rows]
+    assert len(set(codes)) > 0.5 * n
+    for s in range(8):
+        assert len({c[s] for c in codes}) >= 4
+
+
+def test_pq_portable_encoders_agree_on_left_fold(spark):
+    """pq_encode_jvm (the oracle-exact JVM fold path) and a plain NumPy
+    re-derivation over the SAME raw-double codebooks must assign identical
+    codes except at genuine float boundaries — on this fixture: identical.
+    Guards the encoder against slice/off-by-one regressions."""
+    import numpy as np
+
+    emb = read_table(spark, SF_CORRECT, "embeddings")
+    books = similarity.portable_pq_codebooks(emb, m=8, ksub=16)
+    rows = (
+        similarity.pq_encode_jvm(emb, books)
+        .select("vec_id", "embedding", "pq_code")
+        .limit(200)
+        .collect()
+    )
+    B = [np.array(b, dtype=np.float64) for b in books]
+    for r in rows:
+        x = np.array([float(v) for v in r["embedding"]], dtype=np.float64)
+        for s in range(8):
+            xs = x[s * 8 : (s + 1) * 8]
+            d = ((B[s] - xs[None, :]) ** 2).sum(axis=1)
+            assert int(d.argmin()) == r["pq_code"][s], (r["vec_id"], s)
+
+
 def test_pq_code_roundtrip_distortion_bounded(spark):
     """Encoding sanity: reconstructing each vector from its codebook entries
     must land closer to the original than to the corpus mean (i.e. the
