@@ -1193,34 +1193,79 @@ def q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
                s.s_nationkey == F.col("n_nationkey"))
         .select("s_suppkey", "s_nationkey", "n_name")
     )
-    # Cost-gated customer/orders broadcasts: kill the custkey shuffle and
-    # the one fact-fact (li ⋈ o) shuffle. Gated because customer AND orders
-    # are FACTS at 100 TB — above the bound the planner's shuffle joins
-    # stand. Bound = 16 MB of plan estimate, matching the session
-    # autoBroadcast threshold and its rationale (the estimate is compressed
-    # bytes x column fraction; hash-relation BUILD cost is rows): measured
-    # at the 30x replica (orders 2-col estimate 19.3 MB = 4.5M rows) the
-    # broadcast build made q5 3.55 s vs 1.6 s with the shuffle join, while
-    # at 10x (6.4 MB = 1.5M rows) the two are a tie — the crossover sits
-    # between them, and 16 MB splits it on the honest side.
+    # Selectivity on the CUSTOMER side too (r9, from the 100x decomposition
+    # scripts/exp_q5_decompose_sf1x100.json: the customer hash join was
+    # +0.58 s of Spark's 1.34, while DuckDB's full query ran FASTER than its
+    # own customer tier — its planner prunes customer/orders to the region
+    # before the fact-fact join). Customers restricted to the region's
+    # nations are |region nations|/|nations| of the table (1/5 here) — a
+    # bounded ≤|nation|-row collect derives the key list, the IN filter
+    # reaches the customer scan, and the shrunken (custkey, nationkey) pair
+    # set pre-joins into ORDERS as a broadcast BEFORE the orderkey merge.
+    # BroadcastHashJoin preserves the stream side's partitioning AND sort
+    # order, so the zero-exchange bucketed merge join survives with its
+    # orders stream ~5x smaller, the merge output falls ~5x, and the final
+    # customer shuffle join collapses into a post-merge co-location filter.
+    # Cost-gated like every fact broadcast (16 MB of plan estimate, scaled
+    # by the selected-nation fraction — a Filter node's sizeInBytes is its
+    # child's without CBO): above the gate, the r8 shuffle-join path stands.
     from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
 
-    cc = F.broadcast(c) if _plan_size_bytes(c) < 16 * 1024 * 1024 else c
+    nk = n.select("n_nationkey", "n_regionkey").collect()  # ≤ |nation| rows
+    rk = {row["r_regionkey"] for row in r.select("r_regionkey").collect()}
+    asian_keys = [row["n_nationkey"] for row in nk if row["n_regionkey"] in rk]
+    frac = len(asian_keys) / max(len(nk), 1)
+    c2 = c.select("c_custkey", "c_nationkey").filter(
+        F.col("c_nationkey").isin(asian_keys)
+    )
+    c2_est = _plan_size_bytes(c.select("c_custkey", "c_nationkey")) * frac
     oo = o.select("o_orderkey", "o_custkey")
     li = li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    gate = 16 * 1024 * 1024
+    if c2_est < gate:
+        oo = oo.join(
+            F.broadcast(c2), F.col("o_custkey") == F.col("c_custkey")
+        ).select("o_orderkey", "c_nationkey")
+        if _orderkey_colocated(spark, sf):
+            # At-rest bucketed layout: the one fact-fact join (li ⋈ o on
+            # the orderkey) sort-merges with ZERO exchange and zero sort.
+            # The merge hint stops the planner broadcasting the
+            # small-estimate orders side (bypassing the bucket metadata).
+            oo = oo.hint("merge")
+        elif _plan_size_bytes(o.select("o_orderkey", "o_custkey")) * frac < gate:
+            oo = F.broadcast(oo)
+            # all probe sides broadcast → a fused-small lineitem stream side
+            # makes the whole five-way join one fresh-build stage
+            li = relational.fuse_small_input(li)
+        # The co-location predicate is spelled (a - b) == 0, NOT a == b: a
+        # plain equality would be extracted as a SECOND equi-join key,
+        # turning the merge keys into (nationkey, orderkey) — which the
+        # orderkey-bucketed at-rest distribution no longer satisfies, so
+        # Catalyst re-shuffles BOTH fact sides (measured: 7 exchanges vs 0).
+        # The subtraction references both sides in one expression, so it
+        # stays the merge join's residual condition and the zero-exchange
+        # orderkey merge survives. Semantics are identical for int keys
+        # (nulls fail both forms).
+        return (
+            li.join(F.broadcast(asian_sup), li.l_suppkey == F.col("s_suppkey"))
+            .join(
+                oo,
+                (li.l_orderkey == F.col("o_orderkey"))
+                & ((F.col("c_nationkey") - F.col("s_nationkey")) == 0),
+            )
+            .groupBy("n_name")
+            .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        )
+    # Fallback above the gate (customer too big even region-pruned —
+    # the honest shuffle-join shape; gates and rationale unchanged from r8:
+    # measured at the 30x replica an over-eager orders broadcast cost
+    # 3.55 s vs 1.6 s with the shuffle join).
+    cc = F.broadcast(c) if _plan_size_bytes(c) < gate else c
     if _orderkey_colocated(spark, sf):
-        # At-rest bucketed layout: the one fact-fact join (li ⋈ o on the
-        # orderkey) sort-merges with ZERO exchange and zero sort — no
-        # per-run hash build of the orders side at any SF. The merge hint
-        # stops the planner broadcasting the small-estimate orders side
-        # (which would bypass the bucket metadata and re-pay the build).
-        # No fuse: coalescing would destroy the bucketed partitioning.
         oo = oo.hint("merge")
     else:
-        if _plan_size_bytes(oo) < 16 * 1024 * 1024:
+        if _plan_size_bytes(oo) < gate:
             oo = F.broadcast(oo)
-        # all probe sides broadcast → a fused-small lineitem stream side makes
-        # the whole five-way join one fresh-build stage (no-op in prepared mode)
         li = relational.fuse_small_input(li)
     return (
         li.join(F.broadcast(asian_sup), li.l_suppkey == F.col("s_suppkey"))

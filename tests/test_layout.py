@@ -89,6 +89,28 @@ def test_colocated_join_plans_no_exchange(spark, rewritten_layout):
     assert plan.count("BroadcastExchange") == 1, plan  # customer only
 
 
+def test_q5_custprune_keeps_zero_exchange_merge(spark, rewritten_layout):
+    """r9 q5 rewrite regression: the region-pruned customer set pre-joins
+    into orders as a broadcast BEFORE the orderkey merge, and the
+    co-location predicate is spelled (c_nationkey - s_nationkey) == 0 so
+    ExtractEquiJoinKeys cannot lift it into the merge keys — a plain
+    equality there turned the keys into (nationkey, orderkey), invalidated
+    the orderkey bucket distribution, and re-shuffled BOTH fact sides
+    (measured at the 100x replica: 7 exchanges vs 0). Pin: merge on the
+    orderkey alone, the subtraction as residual, zero shuffle exchanges,
+    zero sorts."""
+    from airflow_etl_elt_spark.queries import QUERIES
+
+    df = QUERIES["tpch_q5_local_revenue"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one exchange allowed: the final groupBy(n_name) partial-agg shuffle
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, plan
+    assert "SortMergeJoin [l_orderkey" in plan, plan
+    assert "- s_nationkey" in plan, plan  # residual, not a merge key
+    assert "Sort [" not in plan.replace("SortMergeJoin", ""), plan
+
+
 def test_sessionize_plans_no_exchange_no_sort(spark, rewritten_layout):
     """events bucketed on user_id and sorted (user_id, ts, event_id): the
     two-window sessionization needs neither an exchange nor a sort."""

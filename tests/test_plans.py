@@ -121,6 +121,10 @@ ARROW_OK = {
     "knn_batch",
     "ann_ivf",
     "ann_lsh",
+    # ann_pq (oracled r9): codes + ADC are pure JVM (pq_encode_jvm), but
+    # the exact-cosine rescore + in_exact_top50 twin share ann_ivf's
+    # cosine_topk, whose small-corpus regime is the BLAS pandas_udf
+    "ann_pq",
     "label_pairs_topk",
     "dedup_embedding",
     # lang_id: marker counting runs in pyarrow's RE2 kernels via a scalar
