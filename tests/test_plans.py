@@ -70,6 +70,26 @@ def test_q10_topk_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan  # nation dim broadcasts
 
 
+def test_q10_aggregates_before_customer_join(spark):
+    """r9 shape pin: the revenue aggregate + top-20 run on the SLIM
+    (o_custkey-keyed) fact side BEFORE customer joins — the TakeOrdered
+    must sit BELOW the customer join in the plan tree, so customer
+    cardinality can never re-enter the aggregation (past the broadcast
+    gate the old agg-after-join shape degraded to a customer shuffle join
+    + wide-string-key hash agg)."""
+    plan = _plan(QUERIES["tpch_q10"](spark, SF_SMOKE))
+    take = plan.index("TakeOrderedAndProject")
+    # the scan of the wide customer columns must appear ABOVE (before, in
+    # top-down print order) the TakeOrdered: customer joins the 20
+    # survivors, it does not feed the aggregate
+    cust_scan = plan.index("c_name")
+    assert cust_scan < take, plan
+    # and the aggregate's grouping key is the slim o_custkey, not the
+    # four-column post-join width
+    agg = plan.index("HashAggregate(keys=[o_custkey")
+    assert agg > take, plan  # below TakeOrdered in the printed tree
+
+
 def test_q3_streams_lineitem_never_broadcasts_it(spark):
     """Regression: without CBO, Catalyst's product-of-children join estimate
     made the column-pruned lineitem scan the broadcast build side (driver
