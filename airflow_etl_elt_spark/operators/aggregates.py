@@ -114,6 +114,164 @@ def dec_avg(col) -> F.Column:
     return dec_sum(c) / F.count(c)
 
 
+def _grid_long(col) -> F.Column:
+    """The 1e-6-grid addend as a primitive LONG (``floor`` on a double is
+    LongType) — same grid as dec_sum, no per-row decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(1e6) + F.lit(0.5))
+
+
+#: Pre-overflow bound for long-summed grid addends: a sum (in any order) of
+#: a set of longs can never leave int64 if count × max|addend| < 2^62 (the
+#: true bound is 2^63; the factor-2 headroom absorbs the double rounding in
+#: the count×max product check). Compared as doubles so the check itself
+#: cannot overflow.
+_LONG_SUM_GUARD = float(2**62)
+
+
+def _guard_or_raise(ok: F.Column, value: F.Column, where: str) -> F.Column:
+    """``value`` when the overflow guard holds, else fail the query loudly.
+
+    Belt-and-suspenders: under this repo's sessions (Spark 4 ANSI default
+    ON) an actual long-sum overflow already raises ARITHMETIC_OVERFLOW
+    inside the aggregate, so a silent wrap is impossible; this explicit
+    guard keeps the exactness contract even if a caller's session disables
+    ANSI, and names the operator in the error."""
+    return F.when(
+        ok, value
+    ).otherwise(
+        F.expr(
+            f"raise_error('{where}: long grid-sum overflow guard tripped — "
+            "use dec_sum (decimal per-addend) for this input scale')"
+        )
+    )
+
+
+def two_tier_dec_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    sums: dict[str, "F.Column | str"],
+    counts: dict[str, "F.Column | str"] | None = None,
+    count_star: str | None = None,
+) -> DataFrame:
+    """Exact order-independent grid sums at primitive-long partial speed.
+
+    Same value, bit for bit, as ``dec_sum`` per name in ``sums`` — the grid
+    addends are summed EXACTLY either way — but the per-row work is a LONG
+    add instead of a decimal add (the ~2× tpch_q1 cost of the r9 grid;
+    VERDICT r9 next-step 1).  Two tiers:
+
+    - **tier 1** groups by ``group_cols + spark_partition_id()``: every
+      input partition's slice of a group is long-summed map-side, so the
+      row-volume path never touches a decimal. Safety is generic, not
+      assumed: each tier-1 state also carries count(*) and max|addend|, and
+      ``count × maxabs < 2^62`` (⇒ no prefix of any summation order can
+      leave int64) is CHECKED per state — a violation raises instead of
+      wrapping (and under ANSI-on, Spark's own ARITHMETIC_OVERFLOW would
+      raise first).
+    - **tier 2** groups by ``group_cols`` alone and merges the long
+      partials as DECIMAL(20,0) (a partial can approach 2^63, past
+      DECIMAL(18,0)) — exact to 1e38, so grand totals at 100 TB cannot
+      overflow, exactly as dec_sum's merge.
+
+    Shuffle cost: both exchanges carry only aggregate states
+    (≤ #groups × #input-partitions tiny rows, map-side combined), so this
+    is for LOW-cardinality group keys (q1's 6 groups). For high-cardinality
+    keys the extra exchange re-pays the full state volume — use
+    ``guarded_long_sum_agg`` there instead.
+
+    ``counts`` adds non-null counts (tier-1 count(col), tier-2 sum) named
+    by key; ``count_star`` adds count(*) under that name. Output columns:
+    group_cols, sums (double, /1e6), count_star, counts. Compose averages
+    caller-side as sum_col / count_col — identical to dec_avg.
+    """
+    counts = counts or {}
+    grids = {n: _grid_long(c) for n, c in sums.items()}
+    t1 = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy(*group_cols, "__pid")
+        .agg(
+            *[F.sum(g).alias(f"__s_{n}") for n, g in grids.items()],
+            *[F.max(F.abs(g)).alias(f"__m_{n}") for n, g in grids.items()],
+            F.count(F.lit(1)).alias("__cstar"),
+            *[
+                F.count(F.col(c) if isinstance(c, str) else c).alias(f"__c_{n}")
+                for n, c in counts.items()
+            ],
+        )
+    )
+    maxes = [F.coalesce(F.col(f"__m_{n}"), F.lit(0)) for n in grids]
+    biggest = maxes[0] if len(maxes) == 1 else F.greatest(*maxes)
+    ok = (F.col("__cstar").cast("double") * biggest.cast("double")) < F.lit(
+        _LONG_SUM_GUARD
+    )
+    checked = t1.select(
+        *group_cols,
+        *[
+            _guard_or_raise(ok, F.col(f"__s_{n}"), "two_tier_dec_agg")
+            .cast("decimal(20,0)")
+            .alias(f"__s_{n}")
+            for n in grids
+        ],
+        F.col("__cstar"),
+        *[F.col(f"__c_{n}") for n in counts],
+    )
+    return checked.groupBy(*group_cols).agg(
+        *[
+            (F.sum(f"__s_{n}").cast("double") / F.lit(1e6)).alias(n)
+            for n in grids
+        ],
+        *([F.sum("__cstar").alias(count_star)] if count_star else []),
+        *[F.sum(f"__c_{n}").alias(n) for n in counts],
+    )
+
+
+def guarded_long_sum_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    sums: dict[str, "F.Column | str"],
+) -> DataFrame:
+    """Single-tier exact grid sum in primitive LONG, overflow-guarded.
+
+    Bit-identical to ``dec_sum`` per name, but the whole aggregation —
+    map-side partials AND the merge — stays on longs. Sound because every
+    intermediate of any summation order over a group is bounded by
+    count(*) × max|addend|, which is aggregated alongside and CHECKED per
+    final group (< 2^62 ⇒ no int64 overflow anywhere); a violation raises
+    (as would Spark's own ANSI ARITHMETIC_OVERFLOW) instead of wrapping.
+
+    This is the HIGH-cardinality-key form (q3's per-orderkey revenue, q10's
+    per-custkey): one exchange of aggregate states, exactly like the plain
+    agg it replaces — the two extra primitive aggregates (count, max-abs)
+    ride the same hash state. Per-group totals are what the guard bounds,
+    so it fits keys whose groups stay small (an orderkey's ≤7 lineitems at
+    any SF); a group big enough to trip it should use dec_sum or the
+    two-tier form.
+    """
+    grids = {n: _grid_long(c) for n, c in sums.items()}
+    t = df.groupBy(*group_cols).agg(
+        *[F.sum(g).alias(f"__s_{n}") for n, g in grids.items()],
+        *[F.max(F.abs(g)).alias(f"__m_{n}") for n, g in grids.items()],
+        F.count(F.lit(1)).alias("__cstar"),
+    )
+    maxes = [F.coalesce(F.col(f"__m_{n}"), F.lit(0)) for n in grids]
+    biggest = maxes[0] if len(maxes) == 1 else F.greatest(*maxes)
+    ok = (F.col("__cstar").cast("double") * biggest.cast("double")) < F.lit(
+        _LONG_SUM_GUARD
+    )
+    return t.select(
+        *group_cols,
+        *[
+            (
+                _guard_or_raise(ok, F.col(f"__s_{n}"), "guarded_long_sum_agg")
+                .cast("double")
+                / F.lit(1e6)
+            ).alias(n)
+            for n in grids
+        ],
+    )
+
+
 _PLAN_SIZE_CACHE: dict[tuple[str, int], int] = {}
 
 
@@ -821,27 +979,44 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> Dat
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
         "l_discount", "l_tax",
     ]
-    return (
+    # two_tier_dec_agg: order-independent float aggregation (bit-identical
+    # to dec_sum/dec_avg — same exact grid sums) with the per-row work back
+    # on primitive longs; the decimal adds the r9 grid paid per addend (~2×
+    # on this 7-aggregate key) now run only on the ≤ groups × partitions
+    # tier-1 states (VERDICT r9 next-step 1).
+    base = two_tier_dec_agg(
         fuse_small_input(
             lineitem.filter(
                 F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp")
             ).select(*cols)
-        )
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            # dec_sum/dec_avg: order-independent float aggregation — the
-            # 9-digit hash can never flip on summation order (r9 sweep).
-            dec_sum("l_quantity").alias("sum_qty"),
-            dec_sum("l_extendedprice").alias("sum_base_price"),
-            dec_sum(disc_price).alias("sum_disc_price"),
-            dec_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            dec_avg("l_quantity").alias("avg_qty"),
-            dec_avg("l_extendedprice").alias("avg_price"),
-            dec_avg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+        ),
+        ["l_returnflag", "l_linestatus"],
+        sums={
+            "sum_qty": "l_quantity",
+            "sum_base_price": "l_extendedprice",
+            "sum_disc_price": disc_price,
+            "sum_charge": disc_price * (1 + F.col("l_tax")),
+            "__sum_disc": "l_discount",
+        },
+        counts={
+            "__c_qty": "l_quantity",
+            "__c_price": "l_extendedprice",
+            "__c_disc": "l_discount",
+        },
+        count_star="count_order",
     )
+    return base.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("__c_qty")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("__c_price")).alias("avg_price"),
+        (F.col("__sum_disc") / F.col("__c_disc")).alias("avg_disc"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 def bucketed_histogram(df: DataFrame, col: str, edges: list[float]) -> DataFrame:

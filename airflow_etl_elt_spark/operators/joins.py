@@ -221,10 +221,7 @@ def top_revenue_orders(
     TakeOrderedAndProject — each partition keeps its local top-k, the driver
     merges k rows, no global sort materializes. Tie-broken by o_orderkey.
     """
-    from airflow_etl_elt_spark.operators.aggregates import (
-        _plan_size_bytes,
-        dec_sum,
-    )
+    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
 
     segment_orders = (
         customer.filter(F.col("c_mktsegment") == segment)
@@ -258,10 +255,21 @@ def top_revenue_orders(
         # whole query into one stage in fresh-build mode (gate no-ops in
         # prepared mode and above the size bound — the distributed shape).
         lineitem = fuse_small_input(lineitem)
+    from airflow_etl_elt_spark.operators.aggregates import guarded_long_sum_agg
+
+    # guarded_long_sum_agg: bit-identical to dec_sum's exact grid sum, but
+    # the per-orderkey aggregation stays on primitive longs (high-cardinality
+    # key — the two-tier form would re-pay a full state-volume exchange);
+    # per-group totals are bounded by the guarded count×max|addend| check
+    # (an orderkey has ≤7 lineitems at any SF). VERDICT r9 next-step 1.
     return (
-        lineitem.join(segment_orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        guarded_long_sum_agg(
+            lineitem.join(
+                segment_orders, F.col("o_orderkey") == F.col("l_orderkey")
+            ),
+            ["o_orderkey", "o_orderdate"],
+            {"revenue": F.col("l_extendedprice") * (1 - F.col("l_discount"))},
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(k)
     )

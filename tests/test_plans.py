@@ -303,3 +303,71 @@ def test_knn_batch_prereduces_before_exchange(spark):
         solo = cosine_topk(emb, [float(x) for x in qv], k=5).collect()
         for rank, r in enumerate(solo, start=1):
             assert got[(qid, rank)] == (r["vec_id"], round(r["cosine"], 9))
+
+
+def test_two_tier_dec_agg_bit_identical_to_dec_sum(spark):
+    """The long-partial/decimal-merge form (VERDICT r9 next-step 1) must
+    produce the SAME double, bit for bit, as the per-addend decimal grid —
+    both sum the identical 1e-6-grid integers exactly, so no partitioning
+    or summation order may change the value. Also pins null handling
+    (all-null slices stay null) and the count plumbing avgs divide by."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_elt_spark.operators.aggregates import (
+        dec_sum,
+        guarded_long_sum_agg,
+        two_tier_dec_agg,
+    )
+
+    rows = [
+        (i % 5, None if i % 17 == 0 else (i * 0.137 - 250.0) * 1.25)
+        for i in range(4000)
+    ] + [(9, None)] * 3  # a group whose value column is entirely null
+    df = spark.createDataFrame(rows, "k int, v double").repartition(7)
+
+    ref = (
+        df.groupBy("k")
+        .agg(dec_sum("v").alias("s"), F.count("v").alias("c"))
+        .orderBy("k")
+        .collect()
+    )
+    two = two_tier_dec_agg(
+        df, ["k"], sums={"s": "v"}, counts={"c": "v"}
+    ).orderBy("k").collect()
+    one = guarded_long_sum_agg(df, ["k"], {"s": "v"}).orderBy("k").collect()
+
+    assert [(r["k"], r["s"], r["c"]) for r in two] == [
+        (r["k"], r["s"], r["c"]) for r in ref
+    ]
+    assert [(r["k"], r["s"]) for r in one] == [(r["k"], r["s"]) for r in ref]
+    # the all-null group survives with a null sum in every formulation
+    assert ref[-1]["s"] is None and two[-1]["s"] is None and one[-1]["s"] is None
+
+
+def test_guarded_long_sum_overflow_raises_not_wraps(spark):
+    """A group whose count × max|grid addend| could leave int64 must FAIL
+    LOUDLY (either the explicit guard or ANSI ARITHMETIC_OVERFLOW), never
+    return a silently wrapped sum."""
+    import pytest as _pytest
+
+    from airflow_etl_elt_spark.operators.aggregates import guarded_long_sum_agg
+
+    # grid addend ≈ 9.3e18 > 2^62 alone; two of them would wrap int64
+    df = spark.createDataFrame([(1, 9.3e12), (1, 9.3e12)], "k int, v double")
+    with _pytest.raises(Exception) as ei:
+        guarded_long_sum_agg(df, ["k"], {"s": "v"}).collect()
+    msg = str(ei.value)
+    assert "overflow" in msg.lower() or "guard" in msg.lower()
+
+
+def test_tpch_q1_two_tier_plan_shape(spark):
+    """pricing_summary's two-tier shape: the row-volume aggregate groups by
+    (flags, partition id) with LONG sums — no per-row decimal — and the
+    decimal merge sits above it on state-count rows only."""
+    from airflow_etl_elt_spark.queries import QUERIES
+
+    plan = QUERIES["tpch_q1"](spark, SF_SMOKE)._jdf.queryExecution().optimizedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+    # decimal appears only in the merge tier (cast of the long partials),
+    # never on the addend expressions (FLOOR(x*1e6+0.5) stays long)
+    assert "cast(FLOOR(" not in plan.replace(" ", "")
