@@ -42,13 +42,14 @@ def revenue_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
     exchange on c_mktsegment; the output is bounded by |segments| (5), so
     the final order uses ``ordered_small`` (no range exchange).
     """
-    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+    from airflow_etl_elt_spark.operators.aggregates import (
+        _plan_size_bytes,
+        two_tier_dec_agg,
+    )
     from airflow_etl_elt_spark.operators.relational import (
         fuse_small_input,
         ordered_small,
     )
-
-    from airflow_etl_elt_spark.operators.aggregates import dec_sum
 
     if _plan_size_bytes(customer) < 64 * 1024 * 1024:
         cc = F.broadcast(customer)
@@ -56,14 +57,15 @@ def revenue_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
         orders = fuse_small_input(orders.select("o_custkey", "o_totalprice"))
     else:
         cc = customer
+    # order-independent exact grid sum, long partials / decimal merge
+    # (bit-identical to dec_sum; aggregates.two_tier_dec_agg — 5 segments
+    # is exactly the low-cardinality shape the two-tier form exists for)
     return ordered_small(
-        orders.join(cc, orders.o_custkey == customer.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            # order-independent decimal sum: the hash can't flip on summation
-            # order (r9 float-sum determinism sweep; see aggregates.dec_sum)
-            dec_sum("o_totalprice").alias("total_price"),
-            F.count(F.lit(1)).alias("order_cnt"),
+        two_tier_dec_agg(
+            orders.join(cc, orders.o_custkey == customer.c_custkey),
+            ["c_mktsegment"],
+            sums={"total_price": "o_totalprice"},
+            count_star="order_cnt",
         ),
         "c_mktsegment",
     )
@@ -94,23 +96,22 @@ def revenue_by_priority(
     from airflow_etl_elt_spark.operators.aggregates import (
         _MEDIAN_SMALL_BYTES,
         _plan_size_bytes,
-        dec_sum,
+        two_tier_dec_agg,
     )
     from airflow_etl_elt_spark.operators.relational import fuse_small_input
 
+    # two_tier_dec_agg: exact grid sum, long partials / decimal merge —
+    # bit-identical to dec_sum, and 5 priorities is the low-cardinality
+    # shape the two-tier form exists for (see aggregates.py)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     if colocated:
         li = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
-        return (
-            li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
-            .groupBy("o_orderpriority")
-            .agg(
-                dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                    "revenue"
-                ),
-                F.count(F.lit(1)).alias("line_cnt"),
-            )
-            .orderBy("o_orderpriority")
-        )
+        return two_tier_dec_agg(
+            li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey),
+            ["o_orderpriority"],
+            sums={"revenue": rev},
+            count_star="line_cnt",
+        ).orderBy("o_orderpriority")
 
     build = orders
     if _plan_size_bytes(orders) < _MEDIAN_SMALL_BYTES:
@@ -127,15 +128,12 @@ def revenue_by_priority(
         build = fuse_small_input(
             orders.select("o_orderkey", "o_orderpriority")
         ).hint("shuffle_hash")
-    return (
-        lineitem.join(build, lineitem.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.count(F.lit(1)).alias("line_cnt"),
-        )
-        .orderBy("o_orderpriority")
-    )
+    return two_tier_dec_agg(
+        lineitem.join(build, lineitem.l_orderkey == orders.o_orderkey),
+        ["o_orderpriority"],
+        sums={"revenue": rev},
+        count_star="line_cnt",
+    ).orderBy("o_orderpriority")
 
 
 def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:

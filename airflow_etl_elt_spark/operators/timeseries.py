@@ -65,15 +65,22 @@ def hourly_agg(events: DataFrame) -> DataFrame:
     events = fuse_small_input(
         events.select("ts", "event_type", "value"), bound_scale=0.5
     )
+    from airflow_etl_elt_spark.operators.aggregates import guarded_long_sum_agg
+
+    # order-independent exact grid sum on primitive longs (bit-identical to
+    # dec_sum; overflow CHECKED per (hour, type) group — see
+    # aggregates.guarded_long_sum_agg) — shared by the stream twin via this
+    # impl: the guard and count ride the same watermarked aggregation state
+    # (the projected window column carries the event-time watermark).
     return ordered_small(
-        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            # order-independent grid sum (r9 float-sum determinism; see
-            # aggregates.dec_sum) — shared by the stream twin via this impl
-            dec_sum("value").alias("sum_value"),
-        )
-        .select(
+        guarded_long_sum_agg(
+            events.select(
+                F.window("ts", "1 hour").alias("w"), "event_type", "value"
+            ),
+            ["w", "event_type"],
+            {"sum_value": "value"},
+            extras={"cnt": F.count(F.lit(1))},
+        ).select(
             F.col("w.start").alias("hour_start"),
             "event_type",
             "cnt",

@@ -35,7 +35,11 @@ from airflow_etl_elt_spark.operators import (
     timeseries,
     windows,
 )
-from airflow_etl_elt_spark.operators.aggregates import dec_avg, dec_sum
+from airflow_etl_elt_spark.operators.aggregates import (
+    dec_avg,
+    dec_sum,
+    two_tier_dec_agg,
+)
 from airflow_etl_elt_spark.sources.readers import (
     LINEITEM_EXT_ORACLE_CTE,
     PARTSUPP_ORACLE_CTE,
@@ -1246,15 +1250,19 @@ def q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
         # stays the merge join's residual condition and the zero-exchange
         # orderkey merge survives. Semantics are identical for int keys
         # (nulls fail both forms).
-        return (
+        # two_tier_dec_agg: exact grid sum with long partials (bit-identical
+        # to dec_sum); the extra state-count exchange it plans is tiny
+        # (≤ |nations| × partitions rows) — see tests/test_layout.py's
+        # updated q5 exchange pin.
+        return two_tier_dec_agg(
             li.join(F.broadcast(asian_sup), li.l_suppkey == F.col("s_suppkey"))
             .join(
                 oo,
                 (li.l_orderkey == F.col("o_orderkey"))
                 & ((F.col("c_nationkey") - F.col("s_nationkey")) == 0),
-            )
-            .groupBy("n_name")
-            .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            ),
+            ["n_name"],
+            sums={"revenue": F.col("l_extendedprice") * (1 - F.col("l_discount"))},
         )
     # Fallback above the gate (customer too big even region-pruned —
     # the honest shuffle-join shape; gates and rationale unchanged from r8:
@@ -1267,12 +1275,12 @@ def q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
         if _plan_size_bytes(oo) < gate:
             oo = F.broadcast(oo)
         li = relational.fuse_small_input(li)
-    return (
+    return two_tier_dec_agg(
         li.join(F.broadcast(asian_sup), li.l_suppkey == F.col("s_suppkey"))
         .join(oo, li.l_orderkey == F.col("o_orderkey"))
-        .join(cc, (F.col("o_custkey") == c.c_custkey) & (c.c_nationkey == F.col("s_nationkey")))
-        .groupBy("n_name")
-        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .join(cc, (F.col("o_custkey") == c.c_custkey) & (c.c_nationkey == F.col("s_nationkey"))),
+        ["n_name"],
+        sums={"revenue": F.col("l_extendedprice") * (1 - F.col("l_discount"))},
     )
 
 
@@ -1805,10 +1813,18 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     # true of every fixture — a dangling custkey would make the post-agg
     # join drop a top-20 row; the five-axis oracle sweeps would surface
     # that immediately).
+    # guarded_long_sum_agg: bit-identical exact grid sum with the
+    # per-custkey aggregation on primitive longs (high-cardinality key; a
+    # customer's order lines per half-year are bounded, and the count×max
+    # guard raises rather than wraps if that ever stops holding).
+    from airflow_etl_elt_spark.operators.aggregates import guarded_long_sum_agg
+
     slim = (
-        li.join(oo, li.l_orderkey == F.col("o_orderkey"))
-        .groupBy("o_custkey")
-        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        guarded_long_sum_agg(
+            li.join(oo, li.l_orderkey == F.col("o_orderkey")),
+            ["o_custkey"],
+            {"revenue": F.col("l_extendedprice") * (1 - F.col("l_discount"))},
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
         .limit(20)
     )
