@@ -886,6 +886,14 @@ def _adc_col(
     SQL oracle's ``list_reduce(list_prepend(0.0, …))``, so portable-codebook
     ADC scores are bit-identical across engines (equal codes ⇒ equal scores
     ⇒ ties break by id the same way everywhere)."""
+    if fold == "left" and normalize:
+        # the left-fold/oracle contract requires RAW doubles — a normalized
+        # query would silently break bit-identity with the SQL twin
+        # (ADVICE r9): callers must pass normalize=False explicitly.
+        raise ValueError(
+            "_adc_col: fold='left' requires normalize=False (the portable "
+            "oracle folds raw query/centroid doubles)"
+        )
     m = len(books)
     dsub = len(query_vec) // m
     if fold == "left":

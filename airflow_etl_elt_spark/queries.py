@@ -1222,6 +1222,12 @@ def q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
     c2 = c.select("c_custkey", "c_nationkey").filter(
         F.col("c_nationkey").isin(asian_keys)
     )
+    # NOTE (ADVICE r9): scaling the whole-table estimate by the selected-
+    # nation FRACTION assumes customers are ~uniform across nations (true of
+    # every fixture generator here). A nation-skewed population could pass
+    # this gate while the actual region-pruned broadcast is several times
+    # larger — a PERF risk only (the fallback shuffle path is correct); if
+    # skewed fixtures are ever added, clamp with the unscaled estimate too.
     c2_est = _plan_size_bytes(c.select("c_custkey", "c_nationkey")) * frac
     oo = o.select("o_orderkey", "o_custkey")
     li = li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -1621,6 +1627,15 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# PQ contract shared by q_ann_pq AND _ann_pq_oracle (ADVICE r9: one set of
+# constants ties the Spark call and the SQL twin together — a drift in
+# either side now breaks both visibly instead of silently diverging).
+# m subspaces × ksub centroids over the 64-dim fixture embeddings.
+ANN_PQ_M = 8
+ANN_PQ_KSUB = 16
+ANN_PQ_DSUB = 8  # embedding dim 64 / ANN_PQ_M; pq_topk derives it likewise
+
+
 def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     """PQ ANN: 8×16 product-quantized codes (~64x vector compression), ADC
     scan + exact rescore of the top-50 candidates. EXACT-ORACLED as of r9
@@ -1638,7 +1653,8 @@ def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_table(spark, sf, "embeddings")
     qv = _query_vec(spark, sf)
     approx = similarity.pq_topk(
-        emb, qv, k=10, m=8, ksub=16, rerank=50, codebooks="portable"
+        emb, qv, k=10, m=ANN_PQ_M, ksub=ANN_PQ_KSUB, rerank=50,
+        codebooks="portable",
     )
     return _with_exact_top50(approx, emb, qv)
 
@@ -4488,16 +4504,21 @@ def _ann_pq_oracle() -> str:
         "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
         " x -> (x[1] - x[2]) * (x[1] - x[2]))), (acc, v) -> acc + v)"
     )
-    sub = "[subs.s * 8 + 1 : subs.s * 8 + 8]"
+    # shared constants (ADVICE r9): same M/KSUB/DSUB as q_ann_pq's pq_topk
+    # call — DuckDB list slicing is 1-based end-inclusive, mirroring
+    # Spark's F.slice(vec, s*DSUB+1, DSUB)
+    sub = (
+        f"[subs.s * {ANN_PQ_DSUB} + 1 : subs.s * {ANN_PQ_DSUB} + {ANN_PQ_DSUB}]"
+    )
     return f"""
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-        prm AS (SELECT greatest(count(*) // 16, 1) AS s FROM embeddings),
+        prm AS (SELECT greatest(count(*) // {ANN_PQ_KSUB}, 1) AS s FROM embeddings),
         cent AS (
           SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS cidx,
                  CAST(e.embedding AS DOUBLE[]) AS cv
           FROM embeddings e, prm
-          WHERE e.vec_id % prm.s = 0 AND e.vec_id < 16 * prm.s),
-        subs AS (SELECT range AS s FROM range(8)),
+          WHERE e.vec_id % prm.s = 0 AND e.vec_id < {ANN_PQ_KSUB} * prm.s),
+        subs AS (SELECT range AS s FROM range({ANN_PQ_M})),
         enc AS (
           SELECT vec_id, s, cidx FROM (
             SELECT e.vec_id, subs.s, c.cidx,

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pytest
 
 from airflow_etl_elt_spark.queries import ORACLE_SQL, QUERIES
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 @pytest.fixture(autouse=True)
@@ -371,3 +371,16 @@ def test_tpch_q1_two_tier_plan_shape(spark):
     # decimal appears only in the merge tier (cast of the long partials),
     # never on the addend expressions (FLOOR(x*1e6+0.5) stays long)
     assert "cast(FLOOR(" not in plan.replace(" ", "")
+
+
+def test_tpch_q10_postjoin_keeps_all_topk_rows(spark):
+    """ADVICE r9: q10 aggregates by o_custkey and takes the top-20 BEFORE
+    the inner joins to customer/nation — correct only under the TPC-H FK
+    contract (every o_custkey resolves to a customer, every c_nationkey to
+    a nation). A fixture/FK regression would silently DROP a top-20 row at
+    the join; this pins that the post-join result still carries exactly the
+    20 aggregate winners."""
+    from airflow_etl_elt_spark.queries import QUERIES
+
+    out = QUERIES["tpch_q10"](spark, SF_CORRECT).collect()
+    assert len(out) == 20, f"post-join q10 returned {len(out)} rows (FK leak?)"
