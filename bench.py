@@ -344,9 +344,29 @@ def main() -> None:
         for k, n in result_rows.items()
         if max_table_rows and n >= 0.10 * max_table_rows
     }
+    # Denominator-degenerate membership, also MEASURED per run (VERDICT r9
+    # next-step 3): when DuckDB's ENTIRE query runs at or under Spark's
+    # empty-job scheduling floor, the per-key ratio measures the floor, not
+    # operator work — even a zero-cost Spark operator could not reach
+    # ratio 1, so the key distorts the median. knn_cosine at the 100x
+    # replica is the canonical case: the embedding corpus DOES scale with
+    # the replica factor (200k x 64 floats there) but stays absolutely tiny
+    # — ~34 ms of DuckDB BLAS against a ~0.15 s scheduling floor, while
+    # Spark's absolute is flat across replicas. At sf0.1 the same measured
+    # test flags the known floor-bound majority (the structural finding
+    # documented since r7: DuckDB's whole suite sits at/under the floor
+    # there); the committed per-key list makes that visible instead of
+    # letting those ratios read as operator gaps.
+    denominator_degenerate = {
+        k for k, d in duck_timings.items() if k in comparable and d <= floor
+    }
     ratio_vals = sorted(ratios.values())
     ratio_median = (
         round(_median(ratio_vals), 2) if ratio_vals else None
+    )
+    nondegen = [r for k, r in ratios.items() if k not in denominator_degenerate]
+    ratio_median_nondegen = (
+        round(_median(nondegen), 2) if nondegen else None
     )
     core = [k for k in comparable if k not in fetch_dominated]
     core_duck = sum(duck_timings[k] for k in core)
@@ -371,6 +391,8 @@ def main() -> None:
         "ratio_median_per_query": ratio_median,
         "ratio_vs_duckdb_excl_fetch_dominated": ratio_excl_fetch,
         "fetch_dominated_keys": sorted(fetch_dominated),
+        "denominator_degenerate_keys": sorted(denominator_degenerate),
+        "ratio_median_excl_degenerate": ratio_median_nondegen,
         # Service steady state (prepared plans + Spark-native shuffle-stage
         # reuse on immutable data) — secondary by design; see the timing-mode
         # comment above for why this is not the operator-cost headline.
