@@ -230,6 +230,7 @@ def guarded_long_sum_agg(
     df: DataFrame,
     group_cols: list[str],
     sums: dict[str, "F.Column | str"],
+    extras: dict[str, "F.Column"] | None = None,
 ) -> DataFrame:
     """Single-tier exact grid sum in primitive LONG, overflow-guarded.
 
@@ -247,12 +248,18 @@ def guarded_long_sum_agg(
     so it fits keys whose groups stay small (an orderkey's ≤7 lineitems at
     any SF); a group big enough to trip it should use dec_sum or the
     two-tier form.
+
+    ``extras`` adds further aggregate expressions (e.g. a count) that ride
+    the SAME hash-aggregate state — no extra pass, no extra exchange — and
+    appear in the output under their key names.
     """
+    extras = extras or {}
     grids = {n: _grid_long(c) for n, c in sums.items()}
     t = df.groupBy(*group_cols).agg(
         *[F.sum(g).alias(f"__s_{n}") for n, g in grids.items()],
         *[F.max(F.abs(g)).alias(f"__m_{n}") for n, g in grids.items()],
         F.count(F.lit(1)).alias("__cstar"),
+        *[e.alias(n) for n, e in extras.items()],
     )
     maxes = [F.coalesce(F.col(f"__m_{n}"), F.lit(0)) for n in grids]
     biggest = maxes[0] if len(maxes) == 1 else F.greatest(*maxes)
@@ -269,6 +276,7 @@ def guarded_long_sum_agg(
             ).alias(n)
             for n in grids
         ],
+        *[F.col(n) for n in extras],
     )
 
 
