@@ -178,8 +178,74 @@ def q_insert_ignore_by_name(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_sample_frac(spark: SparkSession, sf: str) -> DataFrame:
     """SURVEY §2 row 24 — seeded Bernoulli sample (utils.py:34). Rows-only:
-    Spark/numpy seeds draw different row sets (SURVEY §7 hazard 1)."""
-    return relational.sample_fraction(read_table(spark, sf, "lineitem"), 0.1, seed=1)
+    Spark/numpy seeds draw different row SETS at the same seed (SURVEY §7
+    hazard 1) — but the set-level CONTRACT is checkable, and every output
+    row carries it as driver-visible booleans (VERDICT r9 stretch ask 7,
+    the dims_match pattern):
+
+    - ``count_in_bounds``: sample size within ±6σ of Binomial(n, 0.1) —
+      a seed/fraction wiring bug (wrong fraction, double sampling) lands
+      far outside; a correct Bernoulli draw exceeds 6σ with p≈2e-9.
+    - ``deterministic``: (count, order-independent xxhash64-sum over the
+      (l_orderkey, l_linenumber) PK) identical across TWO separately
+      planned and executed jobs — real re-execution evidence, not Spark
+      exchange reuse (each aggregate is its own collect; nothing is
+      cached between them).
+    - ``multiset_subset``: per full-row-hash, the sample's multiplicity
+      never exceeds the source's — a with-replacement draw, a
+      union-duplicated pass, or a synthesized row all fail. (The fixture's
+      (l_orderkey, l_linenumber) is deliberately NOT unique, so the check
+      is at row-identity granularity, not PK.)
+
+    The probe jobs are bounded driver-side metadata (one scalar row each),
+    the same contract as the k-means sample collects. The exact row-set
+    quality signal remains the oracle twin ``deterministic_sample``
+    (hash-ranked, engine-portable); this key checks Spark's native seeded
+    ``sample`` against its own distributional contract."""
+    li = read_table(spark, sf, "lineitem")
+    fraction, seed = 0.1, 1
+    # decimal(38,0) fold: xxhash64 spans full int64, so a long sum trips
+    # ANSI ARITHMETIC_OVERFLOW; the decimal sum is exact and order-free
+    row_hash = F.xxhash64(*li.columns).cast("decimal(38,0)")
+
+    def probe() -> tuple[int, int]:
+        row = (
+            relational.sample_fraction(li, fraction, seed=seed)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(row_hash).alias("h"))
+            .first()
+        )
+        return int(row["n"]), int(row["h"] or 0)
+
+    n_source = li.count()
+    n1, h1 = probe()
+    n2, h2 = probe()
+    src_counts = li.groupBy(row_hash.alias("__h")).count().withColumnRenamed(
+        "count", "__src_n"
+    )
+    samp_counts = (
+        relational.sample_fraction(li, fraction, seed=seed)
+        .groupBy(row_hash.alias("__h"))
+        .count()
+        .withColumnRenamed("count", "__smp_n")
+    )
+    n_overdrawn = (
+        samp_counts.join(src_counts, "__h", "left")
+        .filter(
+            F.col("__src_n").isNull() | (F.col("__smp_n") > F.col("__src_n"))
+        )
+        .count()
+    )
+    mean = n_source * fraction
+    sigma = (n_source * fraction * (1.0 - fraction)) ** 0.5
+    checks = {
+        "count_in_bounds": abs(n1 - mean) <= 6.0 * sigma,
+        "deterministic": (n1, h1) == (n2, h2),
+        "multiset_subset": n_overdrawn == 0,
+    }
+    sample = relational.sample_fraction(li, fraction, seed=seed)
+    for name, ok in checks.items():
+        sample = sample.withColumn(name, F.lit(bool(ok)))
+    return sample.withColumn("sample_ok", F.lit(all(checks.values())))
 
 
 def q_kde_per_group(spark: SparkSession, sf: str) -> DataFrame:
@@ -4748,8 +4814,10 @@ ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLE_SQL))
 # Exactness keys require every row true; the ANN keys are approximate by
 # contract — their recall floor (0.8 here) sits below the 0.90-1.00 the
 # recall tests gate at sf0.001/sf0.01, so a pass means "the index works",
-# not "it got lucky". sample_frac is absent by design: its quality signal
-# is the exact-oracle twin `deterministic_sample`.
+# not "it got lucky". sample_frac (r10): the row SET is engine-specific by
+# design, but the set-level contract (binomial count bounds, two-run
+# determinism, no replacement) rides every row as `sample_ok`; the exact
+# row-set quality signal remains the oracle twin `deterministic_sample`.
 SELF_CHECKS: dict[str, tuple[str, float]] = {
     "ann_ivf": ("in_exact_top50", 0.8),
     "ann_lsh": ("in_exact_top50", 0.8),
@@ -4759,4 +4827,5 @@ SELF_CHECKS: dict[str, tuple[str, float]] = {
     "kde_per_group": ("mass_ok", 1.0),
     "media_features": ("dims_match", 1.0),
     "pack_sequences": ("budget_ok", 1.0),
+    "sample_frac": ("sample_ok", 1.0),
 }

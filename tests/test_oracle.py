@@ -124,17 +124,16 @@ def test_entry_smoke(spark):
 
 
 def test_self_checks_cover_rows_only_keys(spark):
-    """Every oracle-less key either appears in SELF_CHECKS (bench.py emits
-    its pass/fail in the bench line) or is sample_frac (whose quality
-    signal is the exact-oracle twin deterministic_sample); each registered
-    column exists as a boolean in the query's schema and its gate passes
-    at smoke SF."""
+    """Every oracle-less key appears in SELF_CHECKS (bench.py emits its
+    pass/fail in the bench line — sample_frac joined in r10 with its
+    set-level contract booleans); each registered column exists as a
+    boolean in the query's schema and its gate passes at smoke SF."""
     from airflow_etl_elt_spark.queries import SELF_CHECKS
 
     # Superset, not equality: a key may carry BOTH an exact oracle and a
     # self-check (kde_per_group since its late-r6 oracle conversion — the
     # mass gate stays in the bench line as defense in depth).
-    assert set(SELF_CHECKS) >= set(ROWS_ONLY_KEYS) - {"sample_frac"}
+    assert set(SELF_CHECKS) >= set(ROWS_ONLY_KEYS)
     for key, (col, floor_frac) in SELF_CHECKS.items():
         df = QUERIES[key](spark, SF_SMOKE)
         field = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -144,3 +143,33 @@ def test_self_checks_cover_rows_only_keys(spark):
         ).first()
         frac = 1.0 if row["n"] == 0 else row["frac"]
         assert frac >= floor_frac, (key, col, frac)
+
+
+def test_sample_frac_self_check_rejects_broken_sampler(spark, monkeypatch):
+    """The sample_frac contract booleans must FAIL on an injected defect —
+    a sampler that returns every drawn row twice (the with-replacement /
+    double-union shape) lands ~2x outside the binomial 6-sigma band and
+    overdraws every multiplicity-1 row, so both count_in_bounds and
+    multiset_subset go false and the gate column sample_ok is false."""
+    from airflow_etl_elt_spark.operators import relational
+
+    real = relational.sample_fraction
+
+    def doubled(df, fraction, seed=1):
+        s = real(df, fraction, seed=seed)
+        return s.unionAll(s)
+
+    monkeypatch.setattr(relational, "sample_fraction", doubled)
+    # the session-lived plan cache would replay the GOOD DataFrame built by
+    # an earlier test — the checks are literals baked in at build time
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", "0")
+    row = (
+        QUERIES["sample_frac"](spark, SF_SMOKE)
+        .selectExpr(
+            "min(count_in_bounds) as cb",
+            "min(multiset_subset) as ms",
+            "min(sample_ok) as ok",
+        )
+        .first()
+    )
+    assert row["cb"] is False and row["ms"] is False and row["ok"] is False
