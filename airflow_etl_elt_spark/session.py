@@ -55,6 +55,18 @@ DEFAULT_CONF: dict[str, str] = {
     # locality is meaningless, and on a cluster reading remote object storage
     # (the 100 TB deployment shape) every read is non-local anyway.
     "spark.locality.wait": "0s",
+    # Generated-class cache (STATIC conf; Janino-compiled whole-stage /
+    # expression classes, keyed by generated source text). The stock 100
+    # entries thrash under a multi-query service: ~20 distinct queries
+    # generate >100 classes per round, so every revisit re-pays several
+    # hundred ms of Janino compilation — measured at the 100x replica as
+    # tpch_q3 0.74 s dedicated vs 2.5-2.9 s interleaved, restored to
+    # 0.63-0.88 s by this one setting with every GC/allocator mitigation
+    # having failed (scripts/exp_q3_codegen_cache.py; SCALING r10).
+    # 5000 entries ~ a few hundred MB of class metadata at worst, nothing
+    # next to the 24g driver heap; a real cluster's long-lived executors
+    # want exactly the same headroom.
+    "spark.sql.codegen.cache.maxEntries": "5000",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     # Catalog warehouse for bucketed/saveAsTable tables; keep it out of the
     # repo working tree (default would be ./spark-warehouse in cwd).

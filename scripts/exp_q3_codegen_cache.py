@@ -56,7 +56,10 @@ def main() -> None:
     if mode == "big":
         extra["spark.sql.codegen.cache.maxEntries"] = "5000"
     spark = get_session(app_name=f"exp-q3-codegen-{mode}", extra_conf=extra)
-    got = spark.conf.get("spark.sql.codegen.cache.maxEntries", "unset")
+    try:
+        got = spark.conf.get("spark.sql.codegen.cache.maxEntries")
+    except Exception:
+        got = "stock-default(100)"
     os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     warm_dir = "/root/testdata/sf0.001"
