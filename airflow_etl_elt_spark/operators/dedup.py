@@ -240,6 +240,20 @@ def minhash_signatures(
 
     @pandas_udf("array<long>")
     def sig_udf(texts: pd.Series) -> pd.Series:
+        # A fourth alternative was measured and REJECTED in r10: a whole-
+        # batch form (Arrow-kernel tokenization + one flat rolling poly +
+        # np.minimum.reduceat over per-doc segments — see
+        # scripts/exp_minhash_decompose.py, which keeps the bit-identical
+        # variant for re-measurement). At the 100x replica it ran 3.91 s vs
+        # this loop's 2.12 s on an identical agg sink: the per-doc (64 x
+        # n_shingles) blocks here stay L2-resident (~25 KB) and only 64
+        # longs/doc touch RAM, while the flat form streams
+        # (chunk x millions)-element intermediates to memory 64/chunk times
+        # per batch — vectorization traded a small Python-loop overhead for
+        # a memory-bandwidth-bound pipeline and lost. The signature pass is
+        # also NOT the at-scale cost: 0.75 s of dedup_minhash's 48 s at
+        # 100x (exp_minhash_decompose_sf1x100.json) — the key is pair-
+        # cardinality-bound (SCALING r10 addendum 2).
         out = []
         for th in _batch_token_hashes(texts):
             if th is None:
