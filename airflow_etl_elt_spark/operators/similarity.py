@@ -26,6 +26,26 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: cosine_near_dup_pairs block-size ceiling: bounds the per-task float64
+#: gram at 4096² x 8 B ≈ 134 MB (plus operands), and with it the peak arena
+#: a REUSED pyspark python worker retains for its lifetime — the 100x-sweep
+#: OOM (32 workers x 4.2 GB) came from unbounded blocks, see the operator
+#: docstring.
+_MAX_BLOCK_ROWS = 4096
+
+
+def _near_dup_blocks(n: int, parallelism: int) -> int:
+    """Block count for ``cosine_near_dup_pairs``: enough blocks to use the
+    cores (isqrt(2p) blocks → ~p block-pair tasks) AND — the r10 scale fix —
+    enough that no block exceeds ``_MAX_BLOCK_ROWS`` rows, whatever the
+    corpus size. Monotone in n, so the per-task gram stays bounded at any
+    scale; results are blocking-invariant (see the operator docstring)."""
+    return max(
+        4,
+        int(math.isqrt(parallelism * 2)),
+        -(-n // _MAX_BLOCK_ROWS),  # ceil division
+    )
+
 
 def _dot(a, b):
     # cast elements to double BEFORE multiplying: float32*float32 then
@@ -265,17 +285,33 @@ def cosine_near_dup_pairs(
     The all-pairs gram matrix is inherently O(n²) — the scalable form tiles
     it: vectors hash into B blocks, the B(B+1)/2 block pairs become
     independent tasks, and each task computes one (|block| × |block|) BLAS
-    matmul in a mapInPandas stage. Work per task is bounded by block size
-    (pick B so a block fits executor memory); nothing ever single-tasks.
-    For corpora where approximate recall is acceptable, prefer the LSH
-    (``ann_topk``) or IVF (``ivf_topk``) candidate generators and verify
-    only candidates — this operator is the exactness baseline / oracle twin.
+    matmul in a mapInPandas stage. Work per task is bounded by block size;
+    nothing ever single-tasks. For corpora where approximate recall is
+    acceptable, prefer the LSH (``ann_topk``) or IVF (``ivf_topk``)
+    candidate generators and verify only candidates — this operator is the
+    exactness baseline / oracle twin.
+
+    B scales with CORPUS SIZE, not just parallelism (r10, found by the
+    first full-catalog sweep at the 100x replica): parallelism-only sizing
+    gave 8 blocks of 25k vectors there, i.e. a 25k x 25k = 5 GB float64
+    gram PER TASK, and pyspark's reused python workers retain their peak
+    arena — 32 workers x ~4.2 GB OOM-killed the whole JVM (the only
+    at-scale crash this repo has had; dmesg-confirmed). The cap bounds the
+    gram at ``_MAX_BLOCK_ROWS``² x 8 bytes ≈ 134 MB and the worker-retained
+    arena with it; the count() it needs is one scalar driver-side job, the
+    same bounded-metadata contract as the IVF k-means sample. Result is
+    blocking-invariant: every pair lands in exactly one block-pair task and
+    each cosine is one dot product — any B yields identical rows.
     """
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
-    nb = n_blocks or max(4, int(math.isqrt(spark.sparkContext.defaultParallelism * 2)))
+    if n_blocks:
+        nb = n_blocks
+    else:
+        n = embeddings.count()  # bounded driver-side metadata (one scalar)
+        nb = _near_dup_blocks(n, spark.sparkContext.defaultParallelism)
     blocks = (
         embeddings.select(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).alias("blk"),

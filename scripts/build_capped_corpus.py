@@ -34,31 +34,38 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1x100"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1x100_capped"
     mod = int(sys.argv[3]) if len(sys.argv) > 3 else 25
+    # r10: the table to cap is a parameter — dedup_embedding joined the
+    # capped-axis family (the DuckDB all-pairs twin is O(n²·dim) SQL
+    # arithmetic: >9 min at the 100x replica's 200k vectors), so the
+    # embeddings table gets the same content-blind id-mod cap treatment.
+    table = sys.argv[4] if len(sys.argv) > 4 else "documents"
+    id_col = {"documents": "doc_id", "embeddings": "vec_id"}[table]
+    fname = f"{table}.parquet"
 
     import duckdb
 
     os.makedirs(out, exist_ok=True)
     for name in sorted(os.listdir(src)):
-        if name == "documents.parquet":
+        if name == fname:
             continue
         dst = os.path.join(out, name)
         if not os.path.exists(dst):
             os.symlink(os.path.join(src, name), dst)
 
-    src_doc = os.path.join(src, "documents.parquet")
+    src_doc = os.path.join(src, fname)
     glob = f"{src_doc}/*.parquet" if os.path.isdir(src_doc) else src_doc
     con = duckdb.connect()
     n = con.sql(
-        f"SELECT count(*) FROM '{glob}' WHERE doc_id % {mod} = 0"
+        f"SELECT count(*) FROM '{glob}' WHERE {id_col} % {mod} = 0"
     ).fetchone()[0]
     # one file is the right layout here: the capped table is sweep-sized
     # (tens of k rows), not a bench-timing subject
     con.sql(
-        f"COPY (SELECT * FROM '{glob}' WHERE doc_id % {mod} = 0 "
-        f"ORDER BY doc_id) TO '{os.path.join(out, 'documents.parquet')}' "
+        f"COPY (SELECT * FROM '{glob}' WHERE {id_col} % {mod} = 0 "
+        f"ORDER BY {id_col}) TO '{os.path.join(out, fname)}' "
         "(FORMAT parquet)"
     )
-    print(f"capped corpus: {n} docs (mod {mod}) -> {out}/documents.parquet")
+    print(f"capped {table}: {n} rows (mod {mod}) -> {out}/{fname}")
 
 
 if __name__ == "__main__":

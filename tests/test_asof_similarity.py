@@ -161,3 +161,24 @@ def test_asof_join_right_values_named_ts(spark):
         3: (_ts(15), 300.0),
         4: (None, None),
     }
+
+
+def test_near_dup_block_count_scales_with_corpus():
+    """r10 scale fix (found by the first full-catalog 100x sweep, which the
+    unbounded version OOM-killed): block count must grow with corpus size so
+    no task's gram matrix exceeds _MAX_BLOCK_ROWS^2 doubles, regardless of
+    parallelism."""
+    from airflow_etl_elt_spark.operators.similarity import (
+        _MAX_BLOCK_ROWS,
+        _near_dup_blocks,
+    )
+
+    # parallelism floor still applies on small corpora
+    assert _near_dup_blocks(2_000, 32) == max(4, int(math.isqrt(64)))
+    # the 100x-replica shape that OOM'd: 200k vectors, 32 cores — blocks
+    # must cap at <= _MAX_BLOCK_ROWS rows each
+    for n in (200_000, 1_000_000, 50_000_000):
+        nb = _near_dup_blocks(n, 32)
+        assert -(-n // nb) <= _MAX_BLOCK_ROWS, (n, nb)
+    # monotone in n
+    assert _near_dup_blocks(1_000_000, 32) >= _near_dup_blocks(200_000, 32)
