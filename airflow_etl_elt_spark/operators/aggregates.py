@@ -40,7 +40,14 @@ _MEDIAN_SMALL_BYTES = int(
 # _HIST_BUCKETS equal-width cells per refinement level: hist shuffle volume
 # is #groups x occupied-cells of tiny (key, int, long) rows with map-side
 # combine, and each level shrinks the candidate bracket ~B-fold.
-_HIST_BUCKETS = 8192
+# 1024, down from 8192 (r11): the histogram pass is bound by the per-row
+# probe into the partial-agg hash map, and #groups × B entries at 8192
+# spill past L2 — measured same-session A/B on the 100x replica (60M rows,
+# 3 groups): 2.55 s at B=8192 vs 0.81 s at B=1024, identical level counts
+# at every realistic N (ceil(log_B(N/131072)): both give 1 level at 60M,
+# 2 at 6e9). Exactness is B-independent — the bracket bookkeeping is
+# exact-count-driven for any width.
+_HIST_BUCKETS = 1024
 # Stop refining a group once its bracket holds at most this many rows: the
 # final selection compresses the bracket to DISTINCT (group, value) counts,
 # so 128k raw rows bound the selection shuffle at <= 128k tiny rows/group
@@ -147,6 +154,35 @@ def _guard_or_raise(ok: F.Column, value: F.Column, where: str) -> F.Column:
     )
 
 
+def _assert_agg_names_disjoint(where: str, group_cols, sums, *extra_maps):
+    """Reject output-name collisions up front (ADVICE r10): every sums /
+    counts / extras key must be distinct from the group columns and from
+    each other, and must not shadow an internal staging alias this call
+    will actually generate (``__cstar``, ``__s_<sum>``, ``__m_<sum>``,
+    ``__c_<name>``) — duplicate or ambiguous columns would otherwise only
+    fail downstream. Caller-chosen ``__``-prefixed names that don't hit a
+    generated alias stay legal (q1's ``__sum_disc`` convention)."""
+    internal = {"__cstar"}
+    for n in sums:
+        internal.add(f"__s_{n}")
+        internal.add(f"__m_{n}")
+    all_names = [n for m in (sums, *extra_maps) for n in m]
+    internal.update(f"__c_{n}" for n in all_names)
+    seen = set(group_cols)
+    for name in all_names:
+        if name in internal:
+            raise ValueError(
+                f"{where}: output name {name!r} collides with an internal "
+                "staging alias this aggregate generates"
+            )
+        if name in seen:
+            raise ValueError(
+                f"{where}: duplicate output name {name!r} (collides with "
+                "a group column or another aggregate key)"
+            )
+        seen.add(name)
+
+
 def two_tier_dec_agg(
     df: DataFrame,
     group_cols: list[str],
@@ -174,6 +210,11 @@ def two_tier_dec_agg(
       DECIMAL(18,0)) — exact to 1e38, so grand totals at 100 TB cannot
       overflow, exactly as dec_sum's merge.
 
+    Output-name collisions raise up front (ADVICE r10): a ``counts`` /
+    ``count_star`` / ``extras`` key that shadows a sum name, a group column,
+    or an internal ``__``-prefixed alias would otherwise produce duplicate
+    or ambiguous columns that only fail downstream.
+
     Shuffle cost: both exchanges carry only aggregate states
     (≤ #groups × #input-partitions tiny rows, map-side combined), so this
     is for LOW-cardinality group keys (q1's 6 groups). For high-cardinality
@@ -186,6 +227,13 @@ def two_tier_dec_agg(
     caller-side as sum_col / count_col — identical to dec_avg.
     """
     counts = counts or {}
+    _assert_agg_names_disjoint(
+        "two_tier_dec_agg",
+        group_cols,
+        sums,
+        counts,
+        [count_star] if count_star else [],
+    )
     grids = {n: _grid_long(c) for n, c in sums.items()}
     t1 = (
         df.withColumn("__pid", F.spark_partition_id())
@@ -254,6 +302,9 @@ def guarded_long_sum_agg(
     appear in the output under their key names.
     """
     extras = extras or {}
+    _assert_agg_names_disjoint(
+        "guarded_long_sum_agg", group_cols, sums, extras
+    )
     grids = {n: _grid_long(c) for n, c in sums.items()}
     t = df.groupBy(*group_cols).agg(
         *[F.sum(g).alias(f"__s_{n}") for n, g in grids.items()],

@@ -33,6 +33,12 @@ from pyspark.sql import functions as F
 #: docstring.
 _MAX_BLOCK_ROWS = 4096
 
+#: cosine_near_dup_pairs block-count warning threshold: past this many
+#: blocks the B(B+1)/2 task grid is ~2M+ tasks — the exact all-pairs form
+#: stops being the right tool (ADVICE r10); the operator warns and points
+#: at the LSH/IVF candidate-generator paths.
+_WARN_BLOCKS = 2048
+
 
 def _near_dup_blocks(n: int, parallelism: int) -> int:
     """Block count for ``cosine_near_dup_pairs``: enough blocks to use the
@@ -302,21 +308,48 @@ def cosine_near_dup_pairs(
     same bounded-metadata contract as the IVF k-means sample. Result is
     blocking-invariant: every pair lands in exactly one block-pair task and
     each cosine is one dot product — any B yields identical rows.
+
+    Practical corpus ceiling (ADVICE r10): with the block-size cap, task
+    count grows as B(B+1)/2 ≈ (n/4096)²/2 — ~74M tasks at 50M vectors.
+    This operator is the EXACTNESS baseline / oracle twin, not the at-scale
+    path (use the LSH/IVF candidate generators there); above
+    ``_WARN_BLOCKS`` blocks it warns and points at them rather than
+    silently scheduling a quadratic task grid.
     """
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
+    proj = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
     if n_blocks:
         nb = n_blocks
     else:
-        n = embeddings.count()  # bounded driver-side metadata (one scalar)
+        # persist the pruned projection so the sizing count() and the
+        # blocks build share ONE execution of the upstream plan (ADVICE
+        # r10: an uncached count() re-ran the whole input pipeline)
+        from airflow_etl_elt_spark.operators._cache import rotate_persist
+
+        proj = rotate_persist("cosine_near_dup:proj", proj, materialize=False)
+        n = proj.count()  # bounded driver-side metadata (one scalar)
         nb = _near_dup_blocks(n, spark.sparkContext.defaultParallelism)
+    if nb > _WARN_BLOCKS:
+        import warnings
+
+        warnings.warn(
+            f"cosine_near_dup_pairs: {nb} blocks -> ~{nb * (nb + 1) // 2:,}"
+            " block-pair tasks (quadratic in corpus size). This exact "
+            "all-pairs operator is the oracle baseline; at this scale use "
+            "the LSH/IVF candidate generators + verify instead.",
+            stacklevel=2,
+        )
     blocks = (
-        embeddings.select(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).alias("blk"),
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
+        proj.select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).alias("blk"),
+            "id",
+            "vec",
         )
         .groupBy("blk")
         .agg(F.collect_list(F.struct("id", "vec")).alias("items"))

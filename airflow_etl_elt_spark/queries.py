@@ -195,7 +195,14 @@ def q_sample_frac(spark: SparkSession, sf: str) -> DataFrame:
       never exceeds the source's — a with-replacement draw, a
       union-duplicated pass, or a synthesized row all fail. (The fixture's
       (l_orderkey, l_linenumber) is deliberately NOT unique, so the check
-      is at row-identity granularity, not PK.)
+      is at row-identity granularity, not PK.) Probed on a DETERMINISTIC
+      1/64 slice of the row-hash space (``pmod(xxhash64(row), 64) == 0``,
+      ADVICE r10: the full-table per-row-hash groupBy was an O(n) shuffle
+      paid at DataFrame-BUILD time): the slice is content-blind, identical
+      on both sides, and every pinned failure mode (doubling, replacement,
+      synthesis) overdraws across the hash space uniformly, so the sliced
+      probe still fails it while shuffling 64× less. The doubled-sampler
+      FAIL pin runs against this same sliced probe.
 
     The probe jobs are bounded driver-side metadata (one scalar row each),
     the same contract as the k-means sample collects. The exact row-set
@@ -219,11 +226,17 @@ def q_sample_frac(spark: SparkSession, sf: str) -> DataFrame:
     n_source = li.count()
     n1, h1 = probe()
     n2, h2 = probe()
-    src_counts = li.groupBy(row_hash.alias("__h")).count().withColumnRenamed(
-        "count", "__src_n"
+    raw_hash = F.xxhash64(*li.columns)
+    in_slice = F.pmod(raw_hash, F.lit(64)) == 0
+    src_counts = (
+        li.filter(in_slice)
+        .groupBy(row_hash.alias("__h"))
+        .count()
+        .withColumnRenamed("count", "__src_n")
     )
     samp_counts = (
         relational.sample_fraction(li, fraction, seed=seed)
+        .filter(in_slice)
         .groupBy(row_hash.alias("__h"))
         .count()
         .withColumnRenamed("count", "__smp_n")
@@ -1892,15 +1905,24 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     # shape degraded to a customer shuffle join + wide-key agg while this
     # one keeps a 20-entry broadcast probe at ANY customer cardinality.
     # Assumes orders.o_custkey references customer (the TPC-H FK contract,
-    # true of every fixture — a dangling custkey would make the post-agg
-    # join drop a top-20 row; the five-axis oracle sweeps would surface
-    # that immediately).
+    # true of every fixture) — and ENFORCES it loudly (VERDICT r10): the
+    # post-agg customer join carries an in-plan guard comparing the joined
+    # row count against the slim top-20's count, both via single-partition
+    # count windows over ≤20 rows (zero cost next to the fact agg). A
+    # dangling custkey that would silently shrink the answer raises
+    # instead. Residual: an ALL-dangling top-20 yields an empty frame with
+    # no row to raise from — tests pin the partial-loss case.
     # guarded_long_sum_agg: bit-identical exact grid sum with the
     # per-custkey aggregation on primitive longs (high-cardinality key; a
     # customer's order lines per half-year are bounded, and the count×max
     # guard raises rather than wraps if that ever stops holding).
     from airflow_etl_elt_spark.operators.aggregates import guarded_long_sum_agg
 
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     slim = (
         guarded_long_sum_agg(
             li.join(oo, li.l_orderkey == F.col("o_orderkey")),
@@ -1909,11 +1931,28 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
         .limit(20)
+        .withColumn("__slim_n", F.count(F.lit(1)).over(w_all))
     )
+    joined = cc.join(F.broadcast(slim), cc.c_custkey == F.col("o_custkey")).join(
+        F.broadcast(n), F.col("c_nationkey") == n.n_nationkey
+    )
+    fk_ok = F.count(F.lit(1)).over(w_all) == F.col("__slim_n")
     return (
-        cc.join(F.broadcast(slim), cc.c_custkey == F.col("o_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
-        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+        joined.select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "n_name",
+            F.when(fk_ok, F.col("revenue"))
+            .otherwise(
+                F.expr(
+                    "raise_error('q_tpch_q10: orders.o_custkey -> customer "
+                    "FK contract broken — a top-20 custkey has no customer "
+                    "row; the inner join would silently drop it')"
+                )
+            )
+            .alias("revenue"),
+        )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
     )
 
@@ -2700,15 +2739,68 @@ def q_txn_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
 # predate the decimal-determinism grid, so CORRECTNESS_r10 re-proves them
 # on the driver's own harness post-grid.
 QUERIES: dict[str, QueryFn] = {
-    # --- r10 driver window (VERDICT r9 next-step 6): the three r6
-    # stragglers lead, then the 47 keys whose last driver row is r07 —
-    # the streaming + txn tiers among them, whose only driver evidence
-    # predates the decimal-determinism grid. Keys past 50 are still
-    # re-verified every round by scripts/sweep_oracle.py on all axes. ---
+    # --- r11 driver window (VERDICT r10 next-step 5): after r10 the oldest
+    # driver evidence is the 46-key r08 cohort — the wine-surface rows, the
+    # join/window/set-op tier, tpch_q1/q3/q5 — so the window is exactly the
+    # 50 keys CORRECTNESS_r08 checked, in that file's order; CORRECTNESS_r11
+    # re-proves them on the driver's own harness at r11 HEAD (tpch_q10's new
+    # in-plan FK guard and sample_frac's sliced multiset probe land inside
+    # this window). Keys past 50 are still re-verified every round by
+    # scripts/sweep_oracle.py on all committed axes. ---
+    "ann_ivf": q_ann_ivf,
+    "table_scan_project": q_table_scan_project,
+    "scan_filter_pushdown": q_scan_filter_pushdown,
+    "elt_filter": q_elt_filter,
+    "filter_ge_param": q_filter_ge_param,
+    "derived_bool_col": q_derived_bool_col,
+    "surrogate_key": q_surrogate_key,
+    "feature_projection": q_feature_projection,
+    "count_by_group": q_count_by_group,
+    "distinct_sorted": q_distinct_sorted,
+    "row_count": q_row_count,
+    "insert_ignore_by_name": q_insert_ignore_by_name,
+    "join_nation_region": q_join_nation_region,
+    "semi_join": q_semi_join,
+    "histogram": q_histogram,
+    "distinct_users": q_distinct_users,
+    "union_nation_keys": q_union_nation_keys,
+    "string_funcs": q_string_funcs,
+    "orders_by_year": q_orders_by_year,
+    "token_count_bpe": q_token_count_bpe,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "label_pairs_topk": q_label_pairs_topk,
+    "grouped_stats": q_grouped_stats,
+    "revenue_by_priority": q_revenue_by_priority,
+    "revenue_by_segment": q_revenue_by_segment,
+    "window_topk": q_window_topk,
+    "window_ranks": q_window_ranks,
+    "dedup_exact": q_dedup_exact,
+    "knn_cosine": q_knn_cosine,
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "asof_join": q_asof_join,
+    "rollup_revenue": q_rollup_revenue,
+    "csv_scan": q_csv_scan,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "quantiles_price": q_quantiles_price,
+    "conditional_agg": q_conditional_agg,
+    "date_parts": q_date_parts,
+    "max_by_priority": q_max_by_priority,
+    "corr_by_flag": q_corr_by_flag,
+    "top_tokens": q_top_tokens,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "left_join_zero_counts": q_left_join_zero_counts,
+    "full_outer_join": q_full_outer_join,
+    "cube_counts": q_cube_counts,
+    "math_funcs": q_math_funcs,
+    "string_funcs2": q_string_funcs2,
+    "null_handling": q_null_handling,
+    "array_stats": q_array_stats,
+    # --- past the driver window: checked by the sweep axes each round ---
     "stratified_sample": q_stratified_sample,
     "repetition_score": q_repetition_score,
     "chunk_documents": q_chunk_documents,
-    # --- last driver-checked r07 (47) ---
     "kde_per_group": q_kde_per_group,
     "approx_distinct_users": q_approx_distinct_users,
     "dedup_minhash": q_dedup_minhash,
@@ -2756,7 +2848,6 @@ QUERIES: dict[str, QueryFn] = {
     "stream_scd2_closed": q_stream_scd2_closed,
     "stream_sessionize": q_stream_sessionize,
     "stream_asof_join": q_stream_asof_join,
-    # --- past the window: driver-checked r08/r09 ---
     "exists_big_order": q_exists_big_order,
     "except_customers": q_except_customers,
     "intersect_customers": q_intersect_customers,
@@ -2800,60 +2891,11 @@ QUERIES: dict[str, QueryFn] = {
     "media_features": q_media_features,
     "bpe_merges": q_bpe_merges,
     "ann_pq": q_ann_pq,
-    "revenue_by_priority": q_revenue_by_priority,
     "tpch_q15": q_tpch_q15,
     "tpch_q10": q_tpch_q10,
     "tpch_q6": q_tpch_q6,
-    "rollup_revenue": q_rollup_revenue,
-    "conditional_agg": q_conditional_agg,
-    "math_funcs": q_math_funcs,
-    "ann_ivf": q_ann_ivf,
-    "table_scan_project": q_table_scan_project,
-    "scan_filter_pushdown": q_scan_filter_pushdown,
-    "elt_filter": q_elt_filter,
-    "filter_ge_param": q_filter_ge_param,
-    "derived_bool_col": q_derived_bool_col,
-    "surrogate_key": q_surrogate_key,
-    "feature_projection": q_feature_projection,
-    "count_by_group": q_count_by_group,
-    "distinct_sorted": q_distinct_sorted,
-    "row_count": q_row_count,
-    "insert_ignore_by_name": q_insert_ignore_by_name,
-    "join_nation_region": q_join_nation_region,
-    "semi_join": q_semi_join,
-    "histogram": q_histogram,
-    "distinct_users": q_distinct_users,
-    "union_nation_keys": q_union_nation_keys,
-    "string_funcs": q_string_funcs,
-    "orders_by_year": q_orders_by_year,
-    "token_count_bpe": q_token_count_bpe,
-    "text_quality": q_text_quality,
-    "doc_fingerprint": q_doc_fingerprint,
-    "label_pairs_topk": q_label_pairs_topk,
-    "grouped_stats": q_grouped_stats,
-    "revenue_by_segment": q_revenue_by_segment,
-    "window_topk": q_window_topk,
-    "window_ranks": q_window_ranks,
-    "dedup_exact": q_dedup_exact,
-    "knn_cosine": q_knn_cosine,
-    "token_count": q_token_count,
-    "lang_id": q_lang_id,
-    "asof_join": q_asof_join,
-    "csv_scan": q_csv_scan,
-    "rolling_fingerprint": q_rolling_fingerprint,
-    "quantiles_price": q_quantiles_price,
-    "date_parts": q_date_parts,
-    "max_by_priority": q_max_by_priority,
-    "corr_by_flag": q_corr_by_flag,
-    "top_tokens": q_top_tokens,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "left_join_zero_counts": q_left_join_zero_counts,
-    "full_outer_join": q_full_outer_join,
-    "cube_counts": q_cube_counts,
-    "string_funcs2": q_string_funcs2,
-    "null_handling": q_null_handling,
-    "array_stats": q_array_stats,
 }
+
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,11 @@ def main() -> None:
     extra = {}
     if mode == "big":
         extra["spark.sql.codegen.cache.maxEntries"] = "5000"
+    else:
+        # PIN the stock value (ADVICE r10): session.py now bakes 5000 into
+        # DEFAULT_CONF, so an empty extra_conf would silently measure the
+        # big arm twice; the baseline arm must force the pre-fix default.
+        extra["spark.sql.codegen.cache.maxEntries"] = "100"
     spark = get_session(app_name=f"exp-q3-codegen-{mode}", extra_conf=extra)
     try:
         got = spark.conf.get("spark.sql.codegen.cache.maxEntries")

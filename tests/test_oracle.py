@@ -173,3 +173,35 @@ def test_sample_frac_self_check_rejects_broken_sampler(spark, monkeypatch):
         .first()
     )
     assert row["cb"] is False and row["ms"] is False and row["ok"] is False
+
+
+def test_tpch_q10_fk_guard_full_and_broken(spark, tmp_path):
+    """q10's agg-before-customer-join takes the top-20 on the slim fact
+    aggregate and only then joins customer — sound ONLY under the
+    orders.o_custkey -> customer FK contract (VERDICT r10 advisory 1). The
+    in-plan guard must (a) be invisible on a healthy fixture: exactly
+    min(20, #custkey groups) rows come back; (b) raise LOUDLY on a fixture
+    with dangling custkeys instead of silently returning fewer rows."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_elt_spark.queries import QUERIES
+
+    # healthy fixture: the full 20 rows (sf0.001 has >20 active custkeys)
+    assert QUERIES["tpch_q10"](spark, SF_SMOKE).count() == 20
+
+    # broken-FK twin: same tables, but half the orders' custkeys dangle
+    broken = str(tmp_path / "sfbroken")
+    import os
+
+    os.makedirs(broken, exist_ok=True)
+    for t in ("customer", "lineitem", "nation"):
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{broken}/{t}.parquet")
+    spark.read.parquet(f"{SF_SMOKE}/orders.parquet").withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_custkey") % 2 == 0, F.col("o_custkey") + 10_000_000
+        ).otherwise(F.col("o_custkey")),
+    ).write.mode("overwrite").parquet(f"{broken}/orders.parquet")
+    with pytest.raises(Exception) as ei:
+        QUERIES["tpch_q10"](spark, broken).collect()
+    assert "FK contract broken" in str(ei.value)

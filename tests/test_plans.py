@@ -360,6 +360,67 @@ def test_guarded_long_sum_overflow_raises_not_wraps(spark):
     assert "overflow" in msg.lower() or "guard" in msg.lower()
 
 
+def test_agg_output_name_collisions_raise(spark):
+    """ADVICE r10: a counts/extras key that shadows a sum name, a group
+    column, or an internal __-prefixed staging alias must raise up front,
+    not produce ambiguous columns that only fail downstream."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_elt_spark.operators.aggregates import (
+        guarded_long_sum_agg,
+        two_tier_dec_agg,
+    )
+
+    df = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    with _pytest.raises(ValueError, match="duplicate output name"):
+        guarded_long_sum_agg(df, ["k"], {"s": "v"}, extras={"s": F.count("v")})
+    with _pytest.raises(ValueError, match="duplicate output name"):
+        guarded_long_sum_agg(df, ["k"], {"k": "v"})
+    with _pytest.raises(ValueError, match="internal staging alias"):
+        guarded_long_sum_agg(
+            df, ["k"], {"s": "v"}, extras={"__cstar": F.count("v")}
+        )
+    with _pytest.raises(ValueError, match="internal staging alias"):
+        guarded_long_sum_agg(df, ["k"], {"s": "v", "__s_s": "v"})
+    with _pytest.raises(ValueError, match="duplicate output name"):
+        two_tier_dec_agg(df, ["k"], sums={"s": "v"}, counts={"s": "v"})
+    with _pytest.raises(ValueError, match="duplicate output name"):
+        two_tier_dec_agg(df, ["k"], sums={"s": "v"}, count_star="s")
+
+
+def test_guard_trips_before_wrap_at_datacenter_magnitudes(spark):
+    """VERDICT r10 stretch 7 — 100 TB-shaped magnitudes with ANSI OFF: a
+    single group of 10^6 addends at 10^13 grid units sums to 10^19 grid >
+    2^63, i.e. a silent int64 wrap if nothing guards. guarded_long_sum_agg
+    must raise its explicit guard BEFORE any wrapped value escapes, and
+    two_tier_dec_agg (the big-group form: per-partition long states, then
+    a decimal merge) must return the EXACT sum at the same magnitudes."""
+    import pytest as _pytest
+
+    from airflow_etl_elt_spark.operators.aggregates import (
+        guarded_long_sum_agg,
+        two_tier_dec_agg,
+    )
+
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        # grid addend = 1e7 * 1e6 = 1e13; count 1e6 => true grid sum 1e19
+        df = spark.range(1_000_000).selectExpr(
+            "cast(1 as int) as k", "cast(1.0e7 as double) as v"
+        )
+        with _pytest.raises(Exception) as ei:
+            guarded_long_sum_agg(df, ["k"], {"s": "v"}).collect()
+        msg = str(ei.value).lower()
+        assert "guard" in msg or "overflow" in msg
+        row = two_tier_dec_agg(df.repartition(8), ["k"], sums={"s": "v"}).first()
+        assert row["s"] == 1.0e13  # exact: 1e19 grid units / 1e6
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
 def test_tpch_q1_two_tier_plan_shape(spark):
     """pricing_summary's two-tier shape: the row-volume aggregate groups by
     (flags, partition id) with LONG sums — no per-row decimal — and the
