@@ -241,39 +241,139 @@ def pairwise_topk_within_label(
     The label acts as a blocking key: the quadratic pair expansion happens
     only inside groups (classic blocked-similarity-join shape); at scale the
     block key would be an LSH bucket (see ``lsh_bucket``) instead of a label.
-    Per group the work is one normalized Gram matrix (BLAS matmul) inside
-    applyInPandas — the SQL self-join form evaluates an interpreted 64-dim
-    dot product per pair and measured ~50x slower at 5k vectors.
+
+    Per-task work is BOUNDED (r11): label groups grow with the corpus, and
+    the original one-task-per-label form (whole-group normalized Gram +
+    a 3-key lexsort over all O(n_g²) pairs) hit the same unbounded-
+    working-set wall the r10 sweep caught in ``cosine_near_dup_pairs`` —
+    at the 100x replica's 20k-row groups each task held ~7 GB and spent
+    ~16 minutes inside one 400M-element lexsort. Groups now tile into
+    ceil(n_g / ``_MAX_BLOCK_ROWS``) hash blocks; each block-pair task
+    computes one bounded BLAS tile and keeps only ITS top-k pairs under
+    the total order (cosine DESC, id_a, id_b); a per-label window then
+    takes the global top-k over the ≤ k·#tiles candidates. Exact for any
+    tiling: every pair lands in exactly one tile, and a globally top-k
+    pair is necessarily within its own tile's top-k under the same total
+    order. The SQL self-join form evaluates an interpreted 64-dim dot
+    product per pair and measured ~50x slower at 5k vectors — hence the
+    oracle twin runs on the capped embeddings axis at scale.
     """
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql import Window
+
     out_schema = "lbl int, id_a bigint, id_b bigint, cosine double"
 
-    def topk_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        ids = pdf[id_col].to_numpy()
-        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(V, axis=1)
-        norms[norms == 0] = 1.0
-        N = V / norms[:, None]
-        S = N @ N.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        cos = S[iu, ju]
-        order = np.lexsort((ids[ju], ids[iu], -cos))[:k]
-        return pd.DataFrame(
-            {
-                "lbl": pdf[label_col].iloc[0],
-                "id_a": ids[iu[order]],
-                "id_b": ids[ju[order]],
-                "cosine": cos[order],
-            }
+    base = embeddings.select(label_col, id_col, vec_col)
+    sizes = (
+        base.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumnRenamed(label_col, "__lbl_s")
+    )
+    nb = F.greatest(
+        F.lit(1), F.ceil(F.col("__n") / F.lit(_MAX_BLOCK_ROWS))
+    ).cast("int")
+    blocks = (
+        # null-safe: the original groupBy treated a null label as its own
+        # group; the broadcast size join must not drop it
+        base.join(
+            F.broadcast(sizes), F.col(label_col).eqNullSafe(F.col("__lbl_s"))
         )
+        .select(
+            F.col(label_col).alias("lbl"),
+            F.pmod(F.xxhash64(F.col(id_col)), nb).alias("blk"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .groupBy("lbl", "blk")
+        .agg(F.collect_list(F.struct("id", "vec")).alias("items"))
+    )
+    tile_pairs = blocks.alias("x").join(
+        blocks.alias("y"),
+        F.col("x.lbl").eqNullSafe(F.col("y.lbl"))
+        & (F.col("x.blk") <= F.col("y.blk")),
+    ).select(
+        F.col("x.lbl").alias("lbl"),
+        (F.col("x.blk") == F.col("y.blk")).alias("diag"),
+        F.col("x.items").alias("items_x"),
+        F.col("y.items").alias("items_y"),
+    )
 
+    def tile_topk(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                xs, ys = row["items_x"], row["items_y"]
+                ids_x = np.array([it["id"] for it in xs], dtype=np.int64)
+                Vx = np.array([it["vec"] for it in xs], dtype=np.float64)
+                nx = np.linalg.norm(Vx, axis=1)
+                nx[nx == 0] = 1.0
+                Nx = Vx / nx[:, None]
+                if row["diag"]:
+                    S = Nx @ Nx.T
+                    iu, ju = np.triu_indices(len(ids_x), k=1)
+                    cos = S[iu, ju]
+                    ok = ~np.isnan(cos)  # NaN pairs never rank (defined)
+                    cos, iu, ju = cos[ok], iu[ok], ju[ok]
+                    if len(cos) > k:
+                        # value-threshold selection keeps ALL pairs tied at
+                        # the k-th cosine, so the (id_a, id_b) tie-break
+                        # below stays exact under any tiling
+                        kth = np.partition(cos, len(cos) - k)[len(cos) - k]
+                        keep = cos >= kth
+                        cos, iu, ju = cos[keep], iu[keep], ju[keep]
+                    # orient by ID, not index: hash blocks are unsorted
+                    ia, ib = ids_x[iu], ids_x[ju]
+                    lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                else:
+                    ids_y = np.array([it["id"] for it in ys], dtype=np.int64)
+                    Vy = np.array([it["vec"] for it in ys], dtype=np.float64)
+                    ny = np.linalg.norm(Vy, axis=1)
+                    ny[ny == 0] = 1.0
+                    S = Nx @ (Vy / ny[:, None]).T
+                    flat = S.ravel()
+                    nn = np.flatnonzero(~np.isnan(flat))
+                    if len(nn) != len(flat):
+                        # compact away NaN pairs, keeping flat indices
+                        flat, _nanmap = flat[nn], nn
+                    else:
+                        _nanmap = None
+                    if len(flat) > k:
+                        kth = np.partition(flat, len(flat) - k)[len(flat) - k]
+                        idx = np.flatnonzero(flat >= kth)
+                    else:
+                        idx = np.arange(len(flat))
+                    cos = flat[idx]
+                    if _nanmap is not None:
+                        idx = _nanmap[idx]  # back to original grid indices
+                    ia = ids_x[idx // S.shape[1]]
+                    ib = ids_y[idx % S.shape[1]]
+                    lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                if not len(cos):
+                    continue
+                order = np.lexsort((hi, lo, -cos))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "lbl": row["lbl"],
+                            "id_a": lo[order],
+                            "id_b": hi[order],
+                            "cosine": cos[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cands = tile_pairs.mapInPandas(tile_topk, out_schema)
+    w = Window.partitionBy("lbl").orderBy(
+        F.col("cosine").desc(), "id_a", "id_b"
+    )
     return (
-        embeddings.select(label_col, id_col, vec_col)
-        .groupBy(label_col)
-        .applyInPandas(topk_fn, out_schema)
+        cands.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
         .orderBy("lbl", F.col("cosine").desc(), "id_a", "id_b")
     )
 

@@ -182,3 +182,27 @@ def test_near_dup_block_count_scales_with_corpus():
         assert -(-n // nb) <= _MAX_BLOCK_ROWS, (n, nb)
     # monotone in n
     assert _near_dup_blocks(1_000_000, 32) >= _near_dup_blocks(200_000, 32)
+
+
+def test_label_pairs_topk_tiling_invariant(spark, monkeypatch):
+    """r11 scale fix (the r10 dedup_embedding lesson applied to the OTHER
+    group-sized-gram operator): pairwise_topk_within_label tiles each label
+    group into bounded blocks, and the result must be IDENTICAL for any
+    tile size — every pair lands in exactly one tile, per-tile top-k under
+    the total order (cosine DESC, id_a, id_b) keeps every global winner,
+    and the value-threshold selection keeps all k-th-cosine ties so the id
+    tie-break stays exact across tilings."""
+    from airflow_etl_elt_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def rows(df):
+        return [
+            (r["lbl"], r["id_a"], r["id_b"], round(r["cosine"], 9))
+            for r in df.collect()
+        ]
+
+    whole = rows(similarity.pairwise_topk_within_label(emb, k=3))
+    monkeypatch.setattr(similarity, "_MAX_BLOCK_ROWS", 5)  # many tiny tiles
+    tiled = rows(similarity.pairwise_topk_within_label(emb, k=3))
+    assert tiled == whole and len(whole) > 0
