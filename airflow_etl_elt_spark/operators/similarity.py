@@ -257,13 +257,32 @@ def pairwise_topk_within_label(
     order. The SQL self-join form evaluates an interpreted 64-dim dot
     product per pair and measured ~50x slower at 5k vectors — hence the
     oracle twin runs on the capped embeddings axis at scale.
+
+    Tie-break robustness (ADVICE r11): BLAS gemm summation order varies
+    with tile shape, so per-pair cosines can differ by 1-2 ulp across
+    tilings — enough to reorder exact-cosine ties (duplicated vectors
+    measured 1.0 vs 1.0000000000000002). The ordering therefore runs on
+    a 9-decimal QUANTIZED cosine (matching the oracle-compare's 9-sig-
+    digit canonicalization) with (id_a, id_b) breaking quantized ties:
+    the selected pair SET is tiling-invariant by construction, not by
+    luck. The quantized key is computed once in numpy and carried into
+    the global window so numpy's and Spark SQL's rounding modes can
+    never disagree; the EMITTED cosine stays the raw per-pair value.
+
+    NaN contract (ADVICE r11, explicit): pairs whose cosine is NaN (a
+    NaN coordinate in either vector) are ALWAYS excluded — they never
+    rank and never pad a small group's result, so a degenerate group of
+    NaN vectors returns fewer than k pairs by design. (The pre-r11
+    applyInPandas form accidentally retained NaN pairs when a group had
+    <= k total pairs; that was an artifact of np.lexsort placing NaN
+    last, not a contract.)
     """
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import Window
 
-    out_schema = "lbl int, id_a bigint, id_b bigint, cosine double"
+    out_schema = "lbl int, id_a bigint, id_b bigint, cosine double, qcos double"
 
     base = embeddings.select(label_col, id_col, vec_col)
     sizes = (
@@ -316,13 +335,17 @@ def pairwise_topk_within_label(
                     cos = S[iu, ju]
                     ok = ~np.isnan(cos)  # NaN pairs never rank (defined)
                     cos, iu, ju = cos[ok], iu[ok], ju[ok]
+                    # selection + ordering run on the 9-decimal quantized
+                    # cosine so BLAS ulp noise can't reorder ties across
+                    # tile shapes (see docstring); raw cos is what's emitted
+                    qcos = np.round(cos, 9)
                     if len(cos) > k:
                         # value-threshold selection keeps ALL pairs tied at
-                        # the k-th cosine, so the (id_a, id_b) tie-break
-                        # below stays exact under any tiling
-                        kth = np.partition(cos, len(cos) - k)[len(cos) - k]
-                        keep = cos >= kth
-                        cos, iu, ju = cos[keep], iu[keep], ju[keep]
+                        # the k-th quantized cosine, so the (id_a, id_b)
+                        # tie-break below stays exact under any tiling
+                        kth = np.partition(qcos, len(qcos) - k)[len(qcos) - k]
+                        keep = qcos >= kth
+                        cos, qcos, iu, ju = cos[keep], qcos[keep], iu[keep], ju[keep]
                     # orient by ID, not index: hash blocks are unsorted
                     ia, ib = ids_x[iu], ids_x[ju]
                     lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
@@ -339,12 +362,13 @@ def pairwise_topk_within_label(
                         flat, _nanmap = flat[nn], nn
                     else:
                         _nanmap = None
+                    qflat = np.round(flat, 9)
                     if len(flat) > k:
-                        kth = np.partition(flat, len(flat) - k)[len(flat) - k]
-                        idx = np.flatnonzero(flat >= kth)
+                        kth = np.partition(qflat, len(qflat) - k)[len(qflat) - k]
+                        idx = np.flatnonzero(qflat >= kth)
                     else:
                         idx = np.arange(len(flat))
-                    cos = flat[idx]
+                    cos, qcos = flat[idx], qflat[idx]
                     if _nanmap is not None:
                         idx = _nanmap[idx]  # back to original grid indices
                     ia = ids_x[idx // S.shape[1]]
@@ -352,7 +376,7 @@ def pairwise_topk_within_label(
                     lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
                 if not len(cos):
                     continue
-                order = np.lexsort((hi, lo, -cos))[:k]
+                order = np.lexsort((hi, lo, -qcos))[:k]
                 frames.append(
                     pd.DataFrame(
                         {
@@ -360,6 +384,7 @@ def pairwise_topk_within_label(
                             "id_a": lo[order],
                             "id_b": hi[order],
                             "cosine": cos[order],
+                            "qcos": qcos[order],
                         }
                     )
                 )
@@ -367,14 +392,16 @@ def pairwise_topk_within_label(
                 yield pd.concat(frames, ignore_index=True)
 
     cands = tile_pairs.mapInPandas(tile_topk, out_schema)
+    # global window ranks on the SAME numpy-quantized key the tiles used —
+    # never on the raw cosine, whose last ulp is tile-shape-dependent
     w = Window.partitionBy("lbl").orderBy(
-        F.col("cosine").desc(), "id_a", "id_b"
+        F.col("qcos").desc(), "id_a", "id_b"
     )
     return (
         cands.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .drop("__rn")
-        .orderBy("lbl", F.col("cosine").desc(), "id_a", "id_b")
+        .orderBy("lbl", F.col("qcos").desc(), "id_a", "id_b")
+        .drop("__rn", "qcos")
     )
 
 

@@ -216,11 +216,25 @@ def main() -> None:
     # ratio_vs_duckdb.
     samples: dict[str, list[float]] = {key: [] for key in HEADLINE}
     result_rows: dict[str, int] = {}
-    duck_samples: dict[str, list[float]] = {key: [] for key in duck_sql}
+    duck_samples: dict[str, list[tuple[float, int]]] = {key: [] for key in duck_sql}
     floor_samples: list[float] = []
     errors: dict[str, str] = {}
     os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"
-    for _ in range(runs):
+    # DuckDB thread-count rotation (VERDICT r11 next-step 3): DuckDB 1.0's
+    # window operator on this box degrades ~6x at 32 threads vs 8 (judge
+    # measurement: dense_rank-only 4.19 s @32, 0.73 s @8 on identical 10x
+    # data) — a denominator that understates the baseline engine flatters
+    # every ratio. Each round-robin round pins a different thread count and
+    # the per-key baseline is the MIN across all samples, i.e. DuckDB at its
+    # own best setting per key; the winning setting is recorded per key.
+    duck_thread_cycle = [32, 8, 16]
+    for r in range(runs):
+        duck_threads_now = duck_thread_cycle[r % len(duck_thread_cycle)]
+        if duck_con is not None:
+            try:
+                duck_con.sql(f"SET threads={duck_threads_now}")
+            except Exception:
+                pass
         for key in HEADLINE:
             if key not in errors:
                 t0 = time.perf_counter()
@@ -235,7 +249,9 @@ def main() -> None:
                 t0 = time.perf_counter()
                 try:
                     duck_con.sql(duck_sql[key]).df()
-                    duck_samples[key].append(time.perf_counter() - t0)
+                    duck_samples[key].append(
+                        (time.perf_counter() - t0, duck_threads_now)
+                    )
                 except Exception as exc:
                     print(f"duckdb query {key} failed: {exc}", file=sys.stderr)
                     del duck_sql[key]
@@ -308,8 +324,21 @@ def main() -> None:
     timings_prepared = {
         k: round(min(v), 4) for k, v in prepared_samples.items() if v
     }
-    duck_timings = {k: round(min(v), 4) for k, v in duck_samples.items() if v}
-    duck_median = {k: round(_median(v), 4) for k, v in duck_samples.items() if v}
+    # Per-key baseline = DuckDB's best (time, threads) sample; the median is
+    # computed over samples AT the winning thread setting so it describes
+    # the same configuration as the min rather than mixing regimes.
+    duck_timings: dict[str, float] = {}
+    duck_threads: dict[str, int] = {}
+    duck_median: dict[str, float] = {}
+    for k, v in duck_samples.items():
+        if not v:
+            continue
+        best_time, best_n = min(v)
+        duck_timings[k] = round(best_time, 4)
+        duck_threads[k] = best_n
+        duck_median[k] = round(
+            _median([t for t, n in v if n == best_n]), 4
+        )
     floor = min(floor_samples) if floor_samples else 0.0
 
     total = round(sum(timings.values()), 4)
@@ -368,6 +397,26 @@ def main() -> None:
     ratio_median_nondegen = (
         round(_median(nondegen), 2) if nondegen else None
     )
+    if duck_threads:
+        mode_n = max(
+            set(duck_threads.values()),
+            key=lambda n: sum(1 for v in duck_threads.values() if v == n),
+        )
+        duck_threads_compact: dict = {"mode": mode_n}
+        # exceptions listed only where the thread choice is MEANINGFUL: a
+        # denominator-degenerate key's winner is scheduling-floor noise
+        # (at sf0.001 that's nearly every key, and listing them once blew
+        # the line past the capture window, dropping the whole field);
+        # the full per-key map is always in the detail sidecar
+        duck_threads_compact.update(
+            {
+                k: n
+                for k, n in sorted(duck_threads.items())
+                if n != mode_n and k not in denominator_degenerate
+            }
+        )
+    else:
+        duck_threads_compact = {}
     core = [k for k in comparable if k not in fetch_dominated]
     core_duck = sum(duck_timings[k] for k in core)
     ratio_excl_fetch = (
@@ -388,6 +437,12 @@ def main() -> None:
             round(adj_total / duck_total, 2) if duck_total else None
         ),
         "ratios": ratios,
+        # DuckDB's per-key winning thread count (min over a 32/8/16 rotation;
+        # VERDICT r11 #3 — DuckDB 1.0's window op degrades ~6x at 32 threads
+        # on this box, so the denominator takes DuckDB at its own best).
+        # Compact mode+exceptions form keeps the line under the driver's
+        # capture window; the full per-key map is in the detail sidecar.
+        "duckdb_threads": duck_threads_compact,
         "ratio_median_per_query": ratio_median,
         "ratio_vs_duckdb_excl_fetch_dominated": ratio_excl_fetch,
         "fetch_dominated_keys": sorted(fetch_dominated),
@@ -423,6 +478,7 @@ def main() -> None:
             "queries_prepared": timings_prepared,
             "duckdb_queries": duck_timings,
             "duckdb_queries_median": duck_median,
+            "duckdb_threads": duck_threads,
             "ratios_floor_adjusted": {
                 k: round(max(timings[k] - floor, 0.0) / duck_timings[k], 2)
                 for k in comparable
@@ -437,11 +493,14 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
-    line = json.dumps(out)
+    # compact separators: the driver records only the last ~2000 chars of
+    # stdout, and the default ", "/": " separators waste ~150 chars of that
+    # window on whitespace (r12: duckdb_threads must fit in the line)
+    line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # belt and braces: never outgrow the capture window
-        for drop in ("queries", "ratios"):
+        for drop in ("duckdb_threads", "queries", "ratios"):
             out.pop(drop, None)
-            line = json.dumps(out)
+            line = json.dumps(out, separators=(",", ":"))
             if len(line) <= 1900:
                 break
     print(line)

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""knn_cosine honest-denominator decomposition (VERDICT r11 next-step 6).
+
+knn_cosine is the worst per-key letter at BOTH committed scales (17.2
+floor-adjusted at sf0.1, 21.4 at the stale 100x record) and is flagged
+denominator-degenerate at both — so the repo has never stated whether
+exact brute-force cosine top-k is at engine parity or genuinely behind.
+This experiment answers it with rates, not ratios:
+
+1. DuckDB solo, at its own best thread count, on the 100x replica's 200k
+   x 64 vectors — absolute seconds, several samples.
+2. Spark solo, fresh-build and prepared, both impls (jvm HOF fold / Arrow
+   pandas_udf BLAS) — absolute seconds, same discipline.
+3. The marginal RATE probe: both engines on an 8x self-union (1.6M
+   vectors) of the same table. Fixed overhead (scheduling floor, plan
+   build, buffer-pool setup) stays constant while the work octuples, so
+   (t_8x - t_1x) / (8-1) / n_vectors is each engine's per-vector rate
+   with its constant term cancelled — the number that actually predicts
+   100 TB behavior.
+
+Writes scripts/exp_knn_decompose_sf1x100.json. Run SOLE TENANT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1x100"
+REPS = 5
+
+
+def _samples(fn, reps=REPS):
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        out.append(time.perf_counter() - t0)
+    return out
+
+
+def main() -> None:
+    import duckdb
+
+    from airflow_etl_elt_spark.operators import similarity
+    from airflow_etl_elt_spark.queries import ORACLE_SQL, QUERIES
+    from airflow_etl_elt_spark.session import get_session
+    from airflow_etl_elt_spark.sources.readers import read_table
+
+    spark = get_session(app_name="knn-decompose")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    n_vec = emb.count()
+    result: dict = {"sf_dir": SF_DIR, "n_vectors": n_vec, "reps": REPS}
+
+    # ---- DuckDB at its best thread count ----------------------------------
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet/*.parquet'"
+        if os.path.isdir(f"{SF_DIR}/embeddings.parquet")
+        else f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    sql = ORACLE_SQL["knn_cosine"]
+    con.sql(sql).df()  # warm buffer pool
+    duck = {}
+    for nt in (32, 16, 8, 1):
+        con.sql(f"SET threads={nt}")
+        duck[str(nt)] = [round(t, 4) for t in _samples(lambda: con.sql(sql).df())]
+    result["duckdb_by_threads"] = duck
+    best_nt = min(duck, key=lambda k: min(duck[k]))
+    duck_best = min(duck[best_nt])
+    result["duckdb_best"] = {"threads": int(best_nt), "sec": duck_best}
+
+    # ---- Spark: fresh + prepared, both impls ------------------------------
+    QUERIES["knn_cosine"](spark, SF_DIR).toPandas()  # warm code paths
+    spark_modes = {}
+    spark_modes["fresh_auto"] = [
+        round(t, 4)
+        for t in _samples(lambda: QUERIES["knn_cosine"](spark, SF_DIR).toPandas())
+    ]
+    from airflow_etl_elt_spark.queries import _query_vec
+
+    qv = _query_vec(spark, SF_DIR)
+    for impl in ("jvm", "blas"):
+        df = similarity.cosine_topk(emb, qv, k=10, impl=impl)
+        df.toPandas()
+        spark_modes[f"prepared_{impl}"] = [
+            round(t, 4) for t in _samples(df.toPandas)
+        ]
+    # scan floor: what just reading the vectors costs the JVM
+    scan = emb.selectExpr("sum(size(embedding)) as s")
+    scan.collect()
+    spark_modes["scan_only"] = [round(t, 4) for t in _samples(scan.collect)]
+    result["spark"] = spark_modes
+
+    # ---- marginal-rate probe: 8x self-union -------------------------------
+    big = emb
+    for _ in range(3):
+        big = big.unionAll(big)
+    big = big.localCheckpoint()  # materialize once; both probes reread memory
+    n_big = big.count()
+    df_big = similarity.cosine_topk(big, qv, k=10, impl="jvm")
+    df_big.toPandas()
+    t_big = _samples(df_big.toPandas)
+    df_one = similarity.cosine_topk(emb.localCheckpoint(), qv, k=10, impl="jvm")
+    df_one.toPandas()
+    t_one = _samples(df_one.toPandas)
+    # DuckDB twin of the same 8x probe
+    con.sql(f"SET threads={best_nt}")
+    con.sql(
+        "CREATE VIEW emb8 AS "
+        + " UNION ALL ".join(["SELECT * FROM embeddings"] * 8)
+    )
+    sql8 = sql.replace("FROM embeddings\n", "FROM emb8\n")
+    assert "emb8" in sql8, "oracle SQL shape changed; fix the replace"
+    con.sql(sql8).df()
+    d_big = _samples(lambda: con.sql(sql8).df())
+    d_one = _samples(lambda: con.sql(sql).df())
+    result["marginal_probe"] = {
+        "n_big": n_big,
+        "spark_jvm_1x": [round(t, 4) for t in t_one],
+        "spark_jvm_8x": [round(t, 4) for t in t_big],
+        "duck_1x": [round(t, 4) for t in d_one],
+        "duck_8x": [round(t, 4) for t in d_big],
+        "spark_rate_ns_per_vec": round(
+            (min(t_big) - min(t_one)) / (n_big - n_vec) * 1e9, 2
+        ),
+        "duck_rate_ns_per_vec": round(
+            (min(d_big) - min(d_one)) / (n_big - n_vec) * 1e9, 2
+        ),
+    }
+    result["medians"] = {
+        "duck_best": round(statistics.median(duck[best_nt]), 4),
+        "spark_fresh": round(statistics.median(spark_modes["fresh_auto"]), 4),
+    }
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"exp_knn_decompose_{os.path.basename(SF_DIR.rstrip('/'))}.json",
+    )
+    with open(out, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+    print(json.dumps(result["medians"]))
+    print(json.dumps(result["marginal_probe"], indent=1))
+    print("wrote", out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -206,3 +206,54 @@ def test_label_pairs_topk_tiling_invariant(spark, monkeypatch):
     monkeypatch.setattr(similarity, "_MAX_BLOCK_ROWS", 5)  # many tiny tiles
     tiled = rows(similarity.pairwise_topk_within_label(emb, k=3))
     assert tiled == whole and len(whole) > 0
+
+
+def test_label_pairs_topk_ulp_tie_break_tiling_invariant(spark, monkeypatch):
+    """ADVICE r11: BLAS gemm summation order varies with tile shape, so
+    duplicated vectors' cosines can land at 1.0 in one tiling and
+    1.0000000000000002 in another — enough to reorder exact ties and make
+    the selected PAIR IDENTITIES tiling-dependent. The quantized (9-decimal)
+    ordering key makes the chosen (id_a, id_b) set invariant, not just the
+    rounded values: five exact-duplicate vectors give C(5,2)=10 pairs all
+    tied at cosine 1.0, k=3 selects strictly by the id tie-break, and any
+    tiling must pick the identical three pairs."""
+    from airflow_etl_elt_spark.operators import similarity
+
+    base = [float(i % 7) + 0.25 for i in range(16)]
+    rows_in = [(i, 0, base) for i in range(5)] + [
+        (10 + i, 0, [float((i * j) % 5) - 1.0 for j in range(16)])
+        for i in range(4)
+    ]
+    emb = spark.createDataFrame(
+        rows_in, "vec_id bigint, label int, embedding array<double>"
+    )
+
+    def ids(df):
+        return [(r["lbl"], r["id_a"], r["id_b"]) for r in df.collect()]
+
+    whole = ids(similarity.pairwise_topk_within_label(emb, k=3))
+    # the duplicate block's ties must resolve purely by (id_a, id_b)
+    assert whole[:3] == [(0, 0, 1), (0, 0, 2), (0, 0, 3)]
+    for tile in (2, 3, 5):
+        monkeypatch.setattr(similarity, "_MAX_BLOCK_ROWS", tile)
+        assert ids(similarity.pairwise_topk_within_label(emb, k=3)) == whole
+
+
+def test_label_pairs_topk_nan_pairs_always_excluded(spark):
+    """ADVICE r11 contract pin: NaN-cosine pairs never rank and never pad a
+    small group — a 3-vector group (3 pairs <= k) where one vector carries
+    a NaN coordinate returns ONLY the one finite pair, not NaN padding."""
+    from airflow_etl_elt_spark.operators import similarity
+
+    nan = float("nan")
+    emb = spark.createDataFrame(
+        [
+            (1, 7, [1.0, 0.0, 2.0]),
+            (2, 7, [1.0, 0.5, 2.0]),
+            (3, 7, [nan, 1.0, 0.0]),
+        ],
+        "vec_id bigint, label int, embedding array<double>",
+    )
+    got = similarity.pairwise_topk_within_label(emb, k=5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert all(r["cosine"] == r["cosine"] for r in got)  # no NaN rows

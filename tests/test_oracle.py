@@ -205,3 +205,40 @@ def test_tpch_q10_fk_guard_full_and_broken(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         QUERIES["tpch_q10"](spark, broken).collect()
     assert "FK contract broken" in str(ei.value)
+
+
+def test_tpch_q10_fk_guard_all_dangling_and_duplicate(spark, tmp_path):
+    """ADVICE r11 closes the two residuals of the count-window guard:
+    (a) an ALL-dangling top-20 used to return an EMPTY frame with no row to
+    raise from — the witness branch (slim left-joined against limit(1) of
+    the probe) must raise loudly; (b) a duplicated c_custkey inflates the
+    joined count, and the guard must name the duplicate-key breakage rather
+    than misdescribe it as a missing customer row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_elt_spark.queries import QUERIES
+
+    # (a) every order's custkey dangles
+    alldang = str(tmp_path / "sfalldang")
+    os.makedirs(alldang, exist_ok=True)
+    for t in ("customer", "lineitem", "nation"):
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{alldang}/{t}.parquet")
+    spark.read.parquet(f"{SF_SMOKE}/orders.parquet").withColumn(
+        "o_custkey", F.col("o_custkey") + 10_000_000
+    ).write.mode("overwrite").parquet(f"{alldang}/orders.parquet")
+    with pytest.raises(Exception) as ei:
+        QUERIES["tpch_q10"](spark, alldang).collect()
+    assert "NO top-20 custkey" in str(ei.value)
+
+    # (b) customer PK violated: every customer row appears twice
+    dup = str(tmp_path / "sfdup")
+    os.makedirs(dup, exist_ok=True)
+    for t in ("orders", "lineitem", "nation"):
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{dup}/{t}.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    cust.unionAll(cust).write.mode("overwrite").parquet(f"{dup}/customer.parquet")
+    with pytest.raises(Exception) as ei:
+        QUERIES["tpch_q10"](spark, dup).collect()
+    assert "not unique" in str(ei.value)
