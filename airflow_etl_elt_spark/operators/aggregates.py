@@ -917,6 +917,17 @@ def grouped_stats(
     vals = df.filter(F.col(value_col).isNotNull()).select(
         group_col, vd.alias("__v")
     )
+    # r12 probe knob (VERDICT r11 stretch 7): the median machinery re-reads
+    # vals for each hist level + the selection scan — 2-3 parquet re-decodes
+    # of the 2-col projection (~0.32 s each at the 100x replica). "persist"
+    # serves those passes from a MEMORY_AND_DISK materialization instead
+    # (rotated per invocation, so fresh-mode benches stay fresh: every
+    # sample pays its own materialization). Probe-gated, default unchanged;
+    # measured A/B in scripts/exp_gs_vals_probe.py before any flip.
+    if os.environ.get("SPARK_GRAFT_GS_VALS", "scan") == "persist":
+        vals = rotate_persist(
+            f"grouped_stats_vals:{group_col}:{value_col}", vals, materialize=False
+        )
     tag = f"grouped_stats_med:{group_col}:{value_col}"
     with_stats = _usable_bounds(value_bounds)
     base_aggs = [
