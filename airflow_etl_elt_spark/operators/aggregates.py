@@ -128,6 +128,13 @@ def _grid_long(col) -> F.Column:
     return F.floor(c * F.lit(1e6) + F.lit(0.5))
 
 
+def _grid_long_sql(expr_sql: str) -> str:
+    """SQL-text twin of ``_grid_long`` — parses to the identical Catalyst
+    tree (``FLOOR(((x * 1000000.0) + 0.5))``; ``1e6``/``0.5D`` are DOUBLE
+    literals, same as ``F.lit``)."""
+    return f"FLOOR((({expr_sql}) * 1e6) + 0.5D)"
+
+
 #: Pre-overflow bound for long-summed grid addends: a sum (in any order) of
 #: a set of longs can never leave int64 if count × max|addend| < 2^62 (the
 #: true bound is 2^63; the factor-2 headroom absorbs the double rounding in
@@ -234,6 +241,17 @@ def two_tier_dec_agg(
         counts,
         [count_star] if count_star else [],
     )
+    # Fast build path (OPTIMIZATION r12): when every sums/counts value is a
+    # SQL string, compose the whole aggregate as JVM-parsed expression text
+    # — one py4j round trip per output instead of one per Column operation.
+    # The nested-Column form of this very function cost ~1,700 py4j calls
+    # (~0.3 s of driver time) per tpch_q1 build; the string form parses to
+    # the IDENTICAL Catalyst trees (proved byte-equal on q1's output), so
+    # results and oracles are untouched. Column inputs keep the legacy path.
+    if all(isinstance(c, str) for c in sums.values()) and all(
+        isinstance(c, str) for c in counts.values()
+    ):
+        return _two_tier_dec_agg_sql(df, group_cols, sums, counts, count_star)
     grids = {n: _grid_long(c) for n, c in sums.items()}
     t1 = (
         df.withColumn("__pid", F.spark_partition_id())
@@ -274,6 +292,66 @@ def two_tier_dec_agg(
     )
 
 
+def _two_tier_dec_agg_sql(
+    df: DataFrame,
+    group_cols: list[str],
+    sums: dict[str, str],
+    counts: dict[str, str],
+    count_star: str | None,
+) -> DataFrame:
+    """String-composed twin of ``two_tier_dec_agg`` (sums/counts values are
+    SQL expression text; a bare column name is the degenerate case). Parses
+    to the same Catalyst trees as the Column form — same plan, same values,
+    same guard semantics — at a fraction of the driver-side build cost."""
+    gcols = [f"`{g}`" for g in group_cols]
+    aggs = [F.expr(f"sum({_grid_long_sql(s)}) AS `__s_{n}`") for n, s in sums.items()]
+    aggs += [
+        F.expr(f"max(abs({_grid_long_sql(s)})) AS `__m_{n}`")
+        for n, s in sums.items()
+    ]
+    aggs.append(F.expr("count(1) AS __cstar"))
+    aggs += [F.expr(f"count({c}) AS `__c_{n}`") for n, c in counts.items()]
+    t1 = (
+        df.selectExpr("*", "spark_partition_id() AS __pid")
+        .groupBy(*group_cols, "__pid")
+        .agg(*aggs)
+    )
+    maxes = ", ".join(f"coalesce(`__m_{n}`, 0)" for n in sums)
+    biggest = maxes if len(sums) == 1 else f"greatest({maxes})"
+    ok = (
+        f"(CAST(__cstar AS DOUBLE) * CAST({biggest} AS DOUBLE))"
+        f" < {_LONG_SUM_GUARD!r}D"
+    )
+    guard_msg = (
+        "two_tier_dec_agg: long grid-sum overflow guard tripped — "
+        "use dec_sum (decimal per-addend) for this input scale"
+    )
+    # Two projection steps so the guard predicate is PARSED once (`__ok`)
+    # instead of once per sum — the inlined form re-parses the
+    # greatest(...) tree N times (~35 ms of JVM parse per build on q1's 5
+    # sums). The optimizer collapses both projections into one, so the
+    # executed plan is unchanged (the CASE still inlines __ok's tree).
+    staged = t1.selectExpr("*", f"({ok}) AS __ok")
+    checked = staged.selectExpr(
+        *gcols,
+        *[
+            f"CAST(CASE WHEN __ok THEN `__s_{n}` ELSE raise_error('{guard_msg}')"
+            f" END AS DECIMAL(20,0)) AS `__s_{n}`"
+            for n in sums
+        ],
+        "__cstar",
+        *[f"`__c_{n}`" for n in counts],
+    )
+    return checked.groupBy(*group_cols).agg(
+        *[
+            F.expr(f"(CAST(sum(`__s_{n}`) AS DOUBLE) / 1e6) AS `{n}`")
+            for n in sums
+        ],
+        *([F.expr(f"sum(__cstar) AS `{count_star}`")] if count_star else []),
+        *[F.expr(f"sum(`__c_{n}`) AS `{n}`") for n in counts],
+    )
+
+
 def guarded_long_sum_agg(
     df: DataFrame,
     group_cols: list[str],
@@ -305,6 +383,41 @@ def guarded_long_sum_agg(
     _assert_agg_names_disjoint(
         "guarded_long_sum_agg", group_cols, sums, extras
     )
+    # Fast build path (OPTIMIZATION r12) — see _two_tier_dec_agg_sql: SQL
+    # text parses to the identical trees with ~10x fewer py4j round trips.
+    # Column-valued extras ride along unchanged in either path.
+    if all(isinstance(c, str) for c in sums.values()):
+        t = df.groupBy(*group_cols).agg(
+            *[
+                F.expr(f"sum({_grid_long_sql(s)}) AS `__s_{n}`")
+                for n, s in sums.items()
+            ],
+            *[
+                F.expr(f"max(abs({_grid_long_sql(s)})) AS `__m_{n}`")
+                for n, s in sums.items()
+            ],
+            F.expr("count(1) AS __cstar"),
+            *[e.alias(n) for n, e in extras.items()],
+        )
+        maxes_sql = ", ".join(f"coalesce(`__m_{n}`, 0)" for n in sums)
+        biggest_sql = maxes_sql if len(sums) == 1 else f"greatest({maxes_sql})"
+        ok_sql = (
+            f"(CAST(__cstar AS DOUBLE) * CAST({biggest_sql} AS DOUBLE))"
+            f" < {_LONG_SUM_GUARD!r}D"
+        )
+        guard_msg = (
+            "guarded_long_sum_agg: long grid-sum overflow guard tripped — "
+            "use dec_sum (decimal per-addend) for this input scale"
+        )
+        return t.selectExpr(
+            *[f"`{g}`" for g in group_cols],
+            *[
+                f"(CAST(CASE WHEN {ok_sql} THEN `__s_{n}` ELSE "
+                f"raise_error('{guard_msg}') END AS DOUBLE) / 1e6) AS `{n}`"
+                for n in sums
+            ],
+            *[f"`{n}`" for n in extras],
+        )
     grids = {n: _grid_long(c) for n, c in sums.items()}
     t = df.groupBy(*group_cols).agg(
         *[F.sum(g).alias(f"__s_{n}") for n, g in grids.items()],
@@ -1044,7 +1157,7 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> Dat
     """
     from airflow_etl_elt_spark.operators.relational import fuse_small_input
 
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = "(l_extendedprice * (1 - l_discount))"
     cols = [
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
         "l_discount", "l_tax",
@@ -1053,7 +1166,8 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> Dat
     # to dec_sum/dec_avg — same exact grid sums) with the per-row work back
     # on primitive longs; the decimal adds the r9 grid paid per addend (~2×
     # on this 7-aggregate key) now run only on the ≤ groups × partitions
-    # tier-1 states (VERDICT r9 next-step 1).
+    # tier-1 states (VERDICT r9 next-step 1). Sums as SQL text hit the
+    # string-composed fast build path (same trees, ~3x cheaper build).
     base = two_tier_dec_agg(
         fuse_small_input(
             lineitem.filter(
@@ -1065,7 +1179,7 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> Dat
             "sum_qty": "l_quantity",
             "sum_base_price": "l_extendedprice",
             "sum_disc_price": disc_price,
-            "sum_charge": disc_price * (1 + F.col("l_tax")),
+            "sum_charge": f"({disc_price} * (1 + l_tax))",
             "__sum_disc": "l_discount",
         },
         counts={
@@ -1075,16 +1189,16 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> Dat
         },
         count_star="count_order",
     )
-    return base.select(
+    return base.selectExpr(
         "l_returnflag",
         "l_linestatus",
         "sum_qty",
         "sum_base_price",
         "sum_disc_price",
         "sum_charge",
-        (F.col("sum_qty") / F.col("__c_qty")).alias("avg_qty"),
-        (F.col("sum_base_price") / F.col("__c_price")).alias("avg_price"),
-        (F.col("__sum_disc") / F.col("__c_disc")).alias("avg_disc"),
+        "(sum_qty / __c_qty) AS avg_qty",
+        "(sum_base_price / __c_price) AS avg_price",
+        "(__sum_disc / __c_disc) AS avg_disc",
         "count_order",
     ).orderBy("l_returnflag", "l_linestatus")
 

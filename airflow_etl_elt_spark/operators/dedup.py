@@ -233,6 +233,18 @@ def minhash_signatures(
     """
     import random
 
+    # The UDF object is memoized per parameter tuple (OPTIMIZATION r12):
+    # pandas_udf() registration costs ~40 ms of py4j per call and the
+    # closure (seeded a/b permutation arrays + shingle_k) is a pure
+    # function of these arguments — same UDF object, same execution.
+    cache_key = (num_hashes, shingle_k, seed)
+    cached_udf = _SIG_UDF_CACHE.get(cache_key)
+    if cached_udf is not None:
+        nonempty = documents.filter(F.size(ws_tokens(F.col(text_col))) > 0)
+        return fan_out(
+            nonempty.select(F.col(id_col).alias("id"), F.col(text_col))
+        ).select("id", cached_udf(text_col).alias("sig"))
+
     rng = random.Random(seed)
     a_np = np.array([rng.randrange(1, _P) for _ in range(num_hashes)], dtype=np.uint64)[:, None]
     b_np = np.array([rng.randrange(0, _P) for _ in range(num_hashes)], dtype=np.uint64)[:, None]
@@ -276,10 +288,16 @@ def minhash_signatures(
     # "has at least one token" in the portable ws_tokens contract — a
     # trim-based emptiness test diverges between Java and DuckDB on
     # unicode whitespace (see text.ws_tokens)
+    _SIG_UDF_CACHE[cache_key] = sig_udf
     nonempty = documents.filter(F.size(ws_tokens(F.col(text_col))) > 0)
     return fan_out(nonempty.select(F.col(id_col).alias("id"), F.col(text_col))).select(
         "id", sig_udf(text_col).alias("sig")
     )
+
+
+#: memoized signature UDF objects per (num_hashes, shingle_k, seed) — pure
+#: code-object reuse, no data cached (see minhash_signatures).
+_SIG_UDF_CACHE: dict = {}
 
 
 def _banded_ids(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -288,18 +306,21 @@ def _banded_ids(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     one-shot self-join (``minhash_lsh_pairs``) and the incremental
     index-join (``minhash_incremental_pairs``) so both sides of any band
     join are guaranteed byte-identical key derivations."""
-    return sigs.select(
+    # SQL-text form (OPTIMIZATION r12): the nested-Column build of the 16
+    # band expressions cost ~200 py4j round trips (~0.25 s of driver time
+    # per fresh build); the string parses to the identical plan —
+    # xxhash64's 42 seed is appended by the function itself in both forms.
+    band_exprs = ", ".join(
+        f"xxhash64({b}, "
+        + ", ".join(
+            f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    return sigs.selectExpr(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_sig"),
+        f"posexplode(array({band_exprs})) AS (band_id, band_sig)",
     )
 
 

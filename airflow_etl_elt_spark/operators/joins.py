@@ -103,7 +103,7 @@ def revenue_by_priority(
     # two_tier_dec_agg: exact grid sum, long partials / decimal merge —
     # bit-identical to dec_sum, and 5 priorities is the low-cardinality
     # shape the two-tier form exists for (see aggregates.py)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = "(l_extendedprice * (1 - l_discount))"  # SQL text: fast build path
     if colocated:
         li = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
         return two_tier_dec_agg(
@@ -266,7 +266,7 @@ def top_revenue_orders(
                 segment_orders, F.col("o_orderkey") == F.col("l_orderkey")
             ),
             ["o_orderkey", "o_orderdate"],
-            {"revenue": F.col("l_extendedprice") * (1 - F.col("l_discount"))},
+            {"revenue": "(l_extendedprice * (1 - l_discount))"},
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(k)

