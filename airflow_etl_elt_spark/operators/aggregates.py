@@ -962,21 +962,58 @@ def grouped_stats(
         gtype = df.schema[group_col].dataType.simpleString()
 
         def _np_stats_all(batches):
+            # Arrow-native (OPTIMIZATION r12): the pandas form of this pass
+            # spent its time converting the 600k-row group STRING column to
+            # pandas objects (measured 0.81 s for a count-only mapInPandas
+            # crossing vs 0.50 s mapInArrow at sf0.1 — guide §4.2). Group
+            # rows via dictionary codes + numpy masks; stats come off the
+            # same float64 arrays as before (np mean/median/std(ddof=1) —
+            # output proved byte-equal). Semantics preserved from the
+            # pandas groupby(dropna=False): null keys kept (as None), NaN
+            # keys collapse to ONE None-key group, count(*) includes null
+            # values, stats exclude null/NaN values.
             import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-            frames = [b for b in batches if len(b)]
-            if not frames:
+            batches = list(batches)
+            if not batches or sum(b.num_rows for b in batches) == 0:
                 return
-            pdf = pd.concat(frames, ignore_index=True)
+            tbl = pa.Table.from_batches(batches)
+            gcol = tbl.column(0).combine_chunks()
+            enc = pc.dictionary_encode(gcol)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            keys = enc.dictionary.to_pylist()
+            codes = np.where(np.isnan(codes), -1.0, codes).astype(np.int64) if codes.dtype.kind == "f" else codes.astype(np.int64)
+            # pandas groupby(dropna=False) folds null AND NaN keys into one
+            # NA group (emitted as None); mirror that by remapping every
+            # NaN dictionary entry onto the null code.
+            nan_codes = {
+                i for i, k in enumerate(keys)
+                if isinstance(k, float) and np.isnan(k)
+            }
+            if nan_codes:
+                codes = np.where(np.isin(codes, list(nan_codes)), -1, codes)
+            vcol = tbl.column(1)
+            vvalid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+            vals = vcol.to_numpy(zero_copy_only=False).astype(float, copy=False)
             out = []
-            # dropna=False: Spark group-by keeps null keys; sort=False: order
-            # is re-established by ordered_small below
-            for key, sub in pdf.groupby(group_col, dropna=False, sort=False):
-                x = sub[value_col].dropna().to_numpy(dtype=float)
+            out_keys = []
+            for code in [-1] + list(range(len(keys))):
+                if code in nan_codes:
+                    continue
+                mask = codes == code
+                n_all = int(mask.sum())
+                if n_all == 0:
+                    continue
+                x = vals[mask & vvalid]
+                x = x[~np.isnan(x)]
                 n = x.size
+                out_keys.append(None if code == -1 else keys[code])
                 out.append(
                     (
-                        None if (isinstance(key, float) and np.isnan(key)) or pd.isna(key) else key,
                         float(x.mean()) if n else None,
                         float(np.median(x)) if n else None,
                         # ddof=1: pandas/reference sample std (SURVEY hazard 3)
@@ -984,12 +1021,21 @@ def grouped_stats(
                         float(x.min()) if n else None,
                         float(x.max()) if n else None,
                         # count(*) semantics: every row, null values included
-                        len(sub),
+                        n_all,
                     )
                 )
-            yield pd.DataFrame(
-                out,
-                columns=[
+            cols = list(zip(*out)) if out else [[]] * 6
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_keys, type=gcol.type),
+                    pa.array(cols[0], type=pa.float64()),
+                    pa.array(cols[1], type=pa.float64()),
+                    pa.array(cols[2], type=pa.float64()),
+                    pa.array(cols[3], type=pa.float64()),
+                    pa.array(cols[4], type=pa.float64()),
+                    pa.array(cols[5], type=pa.int64()),
+                ],
+                names=[
                     group_col, "mean_val", "median_val", "std_val",
                     "min_val", "max_val", "cnt",
                 ],
@@ -1006,7 +1052,7 @@ def grouped_stats(
         return ordered_small(
             df.select(group_col, value_col)
             .coalesce(1)
-            .mapInPandas(
+            .mapInArrow(
                 _np_stats_all,
                 f"{group_col} {gtype}, mean_val double, median_val double, "
                 "std_val double, min_val double, max_val double, cnt long",

@@ -1970,21 +1970,50 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
         .limit(20)
         .selectExpr("*", "count(1) OVER () AS __slim_n")
     )
-    joined = cc.join(F.broadcast(slim), cc.c_custkey == F.col("o_custkey")).join(
-        F.broadcast(n), F.col("c_nationkey") == n.n_nationkey
+    # Guard shape (OPTIMIZATION r12, replaces the r11 inner-join + count
+    # windows + all-dangling witness union): customer is SEMI-pruned by the
+    # top-20 keys (broadcast-right, one streaming pass over the fact), the
+    # ≤20 surviving customers pick up nation attrs as a broadcast inner
+    # join, and SLIM LEFT-OUTER joins that ≤20-row relation — both sides of
+    # the outer join are tiny, so the 20-row side broadcasts legally
+    # (LeftOuter builds right) and the customer FACT is never the build
+    # side at any scale. Guard semantics, now per-row instead of
+    # count-difference (strictly stronger — the old count guard's
+    # documented residual, a dup and a dangling key compensating each
+    # other, is closed because a missing customer surfaces as a NULL
+    # __hit marker regardless of what a duplicate adds):
+    #   - some top-20 custkey has no customer (or nation) row → its slim
+    #     row survives with __hit NULL → raise (same message as r11);
+    #   - NO top-20 custkey matched → count(__hit) OVER () = 0 → the
+    #     all-dangling message (the r11 witness's job, without the second
+    #     fact pass, the limit exchange, or the BNLJ branch);
+    #   - duplicated c_custkey / n_nationkey → more joined rows than
+    #     __slim_n → raise (unchanged).
+    # Fact-pass budget per fresh build: lineitem agg x2 (semi probe +
+    # outer-join stream), customer x1 — the r11 shape paid lineitem x3 and
+    # customer x2 across its three branches (plan diff in plans/r12/).
+    cust20 = (
+        cc.join(
+            F.broadcast(slim),
+            cc.c_custkey == F.col("o_custkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .selectExpr("c_custkey", "c_name", "c_acctbal", "n_name", "1 AS __hit")
     )
-    # Guard messages name the actual breakage (ADVICE r11): fewer joined
-    # rows than the slim top-20 means a custkey with NO customer/nation row
-    # (the inner join dropped it); MORE rows means a DUPLICATED c_custkey
-    # or n_nationkey inflated the join. (A dup and a dangling key exactly
-    # compensating each other in count is the one residual this count
-    # guard cannot see; the witness below closes only the empty case.)
-    guarded = joined.selectExpr(
-        "c_custkey",
+    out = slim.join(
+        F.broadcast(cust20), slim.o_custkey == cust20.c_custkey, "left"
+    )
+    guarded = out.selectExpr(
+        "o_custkey AS c_custkey",
         "c_name",
         "c_acctbal",
         "n_name",
-        "CASE WHEN count(1) OVER () < __slim_n THEN "
+        "CASE WHEN count(__hit) OVER () = 0 THEN "
+        "raise_error('q_tpch_q10: orders.o_custkey -> customer "
+        "FK contract broken — NO top-20 custkey has a customer "
+        "row; the inner join returned an empty result') "
+        "WHEN __hit IS NULL THEN "
         "raise_error('q_tpch_q10: orders.o_custkey -> customer "
         "FK contract broken — a top-20 custkey has no customer "
         "(or nation) row; the inner join would silently drop it') "
@@ -1994,42 +2023,7 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
         "inflated the top-20 join and would double-count revenue') "
         "ELSE revenue END AS revenue",
     )
-    # ALL-dangling witness (ADVICE r11 residual: an empty join has no row
-    # for the count guard to raise from). A left join of the 20-row slim
-    # against limit(1) of a LEFT-SEMI customer-vs-slim probe — the semi
-    # join broadcasts the IDENTICAL slim subplan as the main branch, so
-    # the agg exchange + broadcast are runtime-reused (ReusedExchange,
-    # AQE) and the intact-FK cost is one early-terminated customer scan
-    # (no re-run of the probe joins or the top-20 window, which the
-    # earlier joined.limit(1) form paid ~0.5 s for at sf0.1). Not a
-    # slim-preserving outer equi-join: that shape cannot broadcast the
-    # 20-row side (BHJ builds right for left-outer) and would shuffle the
-    # customer FACT at scale, undoing the r9 broadcast-probe rewrite.
-    any_match = (
-        cc.join(F.broadcast(slim), cc.c_custkey == F.col("o_custkey"), "left_semi")
-        .limit(1)
-        .select(F.lit(1).alias("__any"))
-    )
-    witness = (
-        slim.join(F.broadcast(any_match), F.lit(True), "left")
-        .filter(F.col("__any").isNull())
-        .select(
-            F.col("o_custkey").alias("c_custkey"),
-            F.lit(None).cast("string").alias("c_name"),
-            F.lit(None).cast("double").alias("c_acctbal"),
-            F.lit(None).cast("string").alias("n_name"),
-            F.expr(
-                "raise_error('q_tpch_q10: orders.o_custkey -> customer "
-                "FK contract broken — NO top-20 custkey has a customer "
-                "row; the inner join returned an empty result')"
-            )
-            .cast("double")
-            .alias("revenue"),
-        )
-    )
-    return guarded.unionByName(witness).orderBy(
-        F.col("revenue").desc(), F.col("c_custkey")
-    )
+    return guarded.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
 
 
 def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
