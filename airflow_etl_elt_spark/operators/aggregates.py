@@ -1235,18 +1235,28 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> Dat
         },
         count_star="count_order",
     )
-    return base.selectExpr(
+    from airflow_etl_elt_spark.operators.relational import ordered_small
+
+    # ordered_small, not orderBy (OPTIMIZATION r12): the output is bounded
+    # by |returnflag| x |linestatus| at any SF, and the global sort's
+    # Exchange(rangepartitioning) costs a sampling pass + an extra AQE
+    # stage job to range-split ~6 rows.
+    return ordered_small(
+        base.selectExpr(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "(sum_qty / __c_qty) AS avg_qty",
+            "(sum_base_price / __c_price) AS avg_price",
+            "(__sum_disc / __c_disc) AS avg_disc",
+            "count_order",
+        ),
         "l_returnflag",
         "l_linestatus",
-        "sum_qty",
-        "sum_base_price",
-        "sum_disc_price",
-        "sum_charge",
-        "(sum_qty / __c_qty) AS avg_qty",
-        "(sum_base_price / __c_price) AS avg_price",
-        "(__sum_disc / __c_disc) AS avg_disc",
-        "count_order",
-    ).orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 def bucketed_histogram(df: DataFrame, col: str, edges: list[float]) -> DataFrame:

@@ -521,24 +521,37 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Fetch signatures only for the surviving candidate pairs (tiny next to
-    # the corpus) and verify with the agreeing-minhash fraction.
-    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    if small_input:
-        sig_a, sig_b = F.broadcast(sig_a), F.broadcast(sig_b)
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
+    # the corpus) and verify with the agreeing-minhash fraction. The
+    # agreement expression is SQL text (fast build path, same tree).
+    agree_sql = (
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), "
+        "v -> v = 1))"
     )
+    if small_input:
+        # ONE broadcast, attached twice (OPTIMIZATION r12): aliasing the
+        # sig frame per side made the two BroadcastExchanges canonically
+        # DIFFERENT, so both built + collected independently (two jobs).
+        # Joining the identical broadcast child twice and renaming above
+        # the join lets AQE reuse a single built relation; results proved
+        # equal in the committed A/B.
+        s = F.broadcast(sigs)
+        pj = (
+            pairs.join(s, pairs.id_a == s.id)
+            .withColumnRenamed("sig", "sig_a")
+            .drop("id")
+            .join(s, F.col("id_b") == s.id)
+            .withColumnRenamed("sig", "sig_b")
+            .drop("id")
+        )
+    else:
+        sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        pj = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     return (
-        pairs.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .select(
+        pj.selectExpr(
             "id_a",
             "id_b",
-            (agree / F.lit(num_hashes)).alias("est_jaccard"),
+            f"({agree_sql} / {float(num_hashes)!r}D) AS est_jaccard",
         )
         .filter(F.col("est_jaccard") >= threshold)
     )

@@ -1289,11 +1289,14 @@ def q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
     # dim even at 100 TB) prune lineitem ~|regions|x BEFORE the fact-fact
     # shuffle — the join-order move Catalyst can't make on its own here
     # because the region predicate reaches lineitem only through two joins.
-    asian_sup = (
-        s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
-               s.s_nationkey == F.col("n_nationkey"))
-        .select("s_suppkey", "s_nationkey", "n_name")
-    )
+    # The nation⋈region sub-join is folded into the memoized ≤30-row dim
+    # lookup below (OPTIMIZATION r12): the old nested-broadcast form
+    # (s ⋈ bcast(n ⋈ bcast(r))) planned two extra BroadcastExchanges —
+    # measured 4 of q5's 11 fresh-run jobs — to join 25 immutable rows;
+    # the isin filter pushes to the supplier scan and n_name comes from a
+    # literal map (identical values; nation keys are unique by fixture
+    # contract, same assumption the r9 isin pruning already makes).
+    # asian_sup is built after the lookup; see below.
     # Selectivity on the CUSTOMER side too (r9, from the 100x decomposition
     # scripts/exp_q5_decompose_sf1x100.json: the customer hash join was
     # +0.58 s of Spark's 1.34, while DuckDB's full query ran FASTER than its
@@ -1323,15 +1326,40 @@ def q_tpch_q5_local_revenue(spark: SparkSession, sf: str) -> DataFrame:
     cache_key = (spark.sparkContext.applicationId, sf, "q5_region_keys")
     cached = _Q5_REGION_KEYS_CACHE.get(cache_key)
     if cached is None:
-        nk = n.select("n_nationkey", "n_regionkey").collect()  # ≤ |nation| rows
+        nk = n.select(
+            "n_nationkey", "n_regionkey", "n_name"
+        ).collect()  # ≤ |nation| rows
         rk = {row["r_regionkey"] for row in r.select("r_regionkey").collect()}
         cached = (
-            [row["n_nationkey"] for row in nk if row["n_regionkey"] in rk],
+            [
+                (row["n_nationkey"], row["n_name"])
+                for row in nk
+                if row["n_regionkey"] in rk
+            ],
             len(nk),
         )
         _Q5_REGION_KEYS_CACHE[cache_key] = cached
-    asian_keys, n_nations = cached
+    asian_pairs, n_nations = cached
+    asian_keys = [k for k, _ in asian_pairs]
     frac = len(asian_keys) / max(n_nations, 1)
+    # asian_sup: region-pruned suppliers with n_name attached from the
+    # memoized dim lookup — an isin scan filter + literal-map projection
+    # replaces the old s ⋈ bcast(n ⋈ bcast(r)) double broadcast (see the
+    # comment above; empty region → statically-empty frame, same as the
+    # old empty-join result).
+    if asian_pairs:
+        map_sql = ", ".join(
+            f"""{int(k)}, '{str(v).replace("'", "''")}'""" for k, v in asian_pairs
+        )
+        asian_sup = s.filter(F.col("s_nationkey").isin(asian_keys)).selectExpr(
+            "s_suppkey",
+            "s_nationkey",
+            f"element_at(map({map_sql}), s_nationkey) AS n_name",
+        )
+    else:
+        asian_sup = s.filter(F.lit(False)).selectExpr(
+            "s_suppkey", "s_nationkey", "CAST(NULL AS STRING) AS n_name"
+        )
     c2 = c.select("c_custkey", "c_nationkey").filter(
         F.col("c_nationkey").isin(asian_keys)
     )
