@@ -1951,9 +1951,12 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
         # the estimate under-reports hash-relation build cost ~3x in rows
         _plan_size_bytes(oo) < 16 * 1024 * 1024
     ):
+        oo_small = True
         oo = F.broadcast(oo)
         # broadcast probe + fused-small stream side = one fresh-build stage
         li = relational.fuse_small_input(li)
+    else:
+        oo_small = False
     # Aggregate BEFORE the wide customer join (r9, the agg-through-join
     # move Catalyst doesn't derive): group the fact side by o_custkey alone
     # — custkey is customer's key, so the groups are identical to the
@@ -2020,9 +2023,23 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     # Fact-pass budget per fresh build: lineitem agg x2 (semi probe +
     # outer-join stream), customer x1 — the r11 shape paid lineitem x3 and
     # customer x2 across its three branches (plan diff in plans/r12/).
+    # Semi-prune source (OPTIMIZATION r12, measured at the 100x replica):
+    # the prune only needs a SUPERSET of the top-20 custkeys — the outer
+    # join below matches slim's keys alone, so extra pruned-in customers
+    # change nothing. In the small regime (oo under the broadcast gate) the
+    # date-windowed order custkeys are that superset at zero fact-agg cost,
+    # saving the SECOND slim expansion (the fact-side scan→join→agg→top-20
+    # re-ran inside the semi branch: measured 1.73 s vs 0.95 s pre-guard at
+    # the 100x replica, and one of q10's two lineitem passes at sf0.1).
+    # Above the gate the window's customer set can outgrow any broadcast,
+    # so the exact ≤20-key slim prune stands — the FK guard then costs one
+    # extra fact agg at scale, the documented price of the loud contract.
+    prune_keys = (
+        F.broadcast(o.select("o_custkey")) if oo_small else F.broadcast(slim)
+    )
     cust20 = (
         cc.join(
-            F.broadcast(slim),
+            prune_keys,
             cc.c_custkey == F.col("o_custkey"),
             "left_semi",
         )

@@ -242,3 +242,23 @@ def test_tpch_q10_fk_guard_all_dangling_and_duplicate(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         QUERIES["tpch_q10"](spark, dup).collect()
     assert "not unique" in str(ei.value)
+
+
+def test_tpch_q10_large_regime_slim_prune_matches(spark, monkeypatch):
+    """q10's customer semi-prune is regime-gated (OPTIMIZATION r12): under
+    the orders broadcast gate the prune uses the date-windowed order
+    custkeys (a superset of the top-20 — zero extra fact-agg cost); above
+    it the exact ≤20-key slim prune keeps the broadcast bounded at any
+    scale. Both prunes must produce the identical result — force the large
+    regime by shrinking the gate via a huge plan-size estimate."""
+    from airflow_etl_elt_spark.operators import aggregates as agg
+    from airflow_etl_elt_spark.queries import QUERIES
+
+    small = QUERIES["tpch_q10"](spark, SF_SMOKE).collect()
+
+    real = agg._plan_size_bytes
+    monkeypatch.setattr(
+        agg, "_plan_size_bytes", lambda df: max(real(df), 1 << 40)
+    )
+    large = QUERIES["tpch_q10"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, small)) == sorted(map(tuple, large))
