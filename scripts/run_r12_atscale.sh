@@ -30,7 +30,14 @@ python scripts/assemble_bench_artifact.py install /tmp/bench_sf3.raw SF3 1x30 \
     || fail "SF3 install refused"
 
 echo "=== bench 100x $(date -u +%H:%M:%S) ==="
-SPARK_GRAFT_SF_DIR=/tmp/sf1x100 python bench.py \
+# 48g for the 100x point only: the 20-key x 7-round suite accumulates
+# broadcast/cache remnants (freed lazily by the ContextCleaner on GC) on
+# top of 60M-row working sets in ONE local-mode JVM; at 24g the r12 first
+# attempt OOMed mid-suite in round >5 while every key runs clean
+# standalone at 24g. A cluster sizes executor memory to the data; this is
+# the single-JVM equivalent, not a per-query tuning knob (timings at
+# smaller points are unaffected — they keep the 24g default).
+SPARK_GRAFT_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=/tmp/sf1x100 python bench.py \
     > /tmp/bench_sf10.raw 2>/tmp/bench_sf10.err || fail "100x bench rc"
 python scripts/assemble_bench_artifact.py install /tmp/bench_sf10.raw SF10 1x100 \
     || fail "SF10 install refused"
