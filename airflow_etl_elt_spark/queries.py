@@ -1988,7 +1988,7 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     # witness left join) and Catalyst expands each reference into its own
     # subplan — sharing it via rotate_persist was probed and REJECTED at
     # sf0.1: persist+count+InMemoryTableScan cost 4.01 s vs 1.29 s
-    # unshared (same session A/B, scripts/... in OPTIMIZATION_r12.md);
+    # unshared (same-session A/B, OPTIMIZATION_r12.md q10 section);
     # the duplicated agg is the cheaper evil at bench scale. The window
     # count and guard CASE are SQL text (fast build path).
     slim = (
