@@ -135,6 +135,16 @@ def _grid_long_sql(expr_sql: str) -> str:
     return f"FLOOR((({expr_sql}) * 1e6) + 0.5D)"
 
 
+def dec_sum_sql(expr_sql: str) -> str:
+    """SQL-text twin of ``dec_sum`` (OPTIMIZATION r13) — parses to the
+    identical Catalyst tree: grid addend cast to DECIMAL(18,0), exact
+    decimal sum, one double cast + division. Same value bit for bit."""
+    return (
+        f"(CAST(sum(CAST({_grid_long_sql(expr_sql)} AS {DEC_SUM_TYPE})) "
+        "AS DOUBLE) / 1e6)"
+    )
+
+
 #: Pre-overflow bound for long-summed grid addends: a sum (in any order) of
 #: a set of longs can never leave int64 if count × max|addend| < 2^62 (the
 #: true bound is 2^63; the factor-2 headroom absorbs the double rounding in
@@ -169,7 +179,7 @@ def _assert_agg_names_disjoint(where: str, group_cols, sums, *extra_maps):
     ``__c_<name>``) — duplicate or ambiguous columns would otherwise only
     fail downstream. Caller-chosen ``__``-prefixed names that don't hit a
     generated alias stay legal (q1's ``__sum_disc`` convention)."""
-    internal = {"__cstar"}
+    internal = {"__cstar", "__pid", "__ok"}
     for n in sums:
         internal.add(f"__s_{n}")
         internal.add(f"__m_{n}")
@@ -177,6 +187,15 @@ def _assert_agg_names_disjoint(where: str, group_cols, sums, *extra_maps):
     internal.update(f"__c_{n}" for n in all_names)
     seen = set(group_cols)
     for name in all_names:
+        # The SQL-text fast paths interpolate output names inside backtick
+        # quoting (ADVICE r12): a name containing a backtick would escape
+        # the quoting and produce an opaque downstream parse error — reject
+        # it here with the operator named instead.
+        if "`" in name:
+            raise ValueError(
+                f"{where}: output name {name!r} contains a backtick, which "
+                "the SQL-text build path cannot quote"
+            )
         if name in internal:
             raise ValueError(
                 f"{where}: output name {name!r} collides with an internal "
@@ -248,6 +267,15 @@ def two_tier_dec_agg(
     # (~0.3 s of driver time) per tpch_q1 build; the string form parses to
     # the IDENTICAL Catalyst trees (proved byte-equal on q1's output), so
     # results and oracles are untouched. Column inputs keep the legacy path.
+    # An INPUT column named __pid would collide with the tier-1 partition-id
+    # staging alias on either path (`selectExpr('*', ...)` DUPLICATES rather
+    # than replaces it — ADVICE r12): raise with the operator named instead
+    # of an opaque ambiguity error downstream.
+    if "__pid" in df.columns:
+        raise ValueError(
+            "two_tier_dec_agg: input already has a __pid column, which "
+            "collides with the tier-1 partition-id staging alias"
+        )
     if all(isinstance(c, str) for c in sums.values()) and all(
         isinstance(c, str) for c in counts.values()
     ):
@@ -1001,14 +1029,42 @@ def grouped_stats(
             vals = vcol.to_numpy(zero_copy_only=False).astype(float, copy=False)
             out = []
             out_keys = []
-            for code in [-1] + list(range(len(keys))):
-                if code in nan_codes:
-                    continue
-                mask = codes == code
-                n_all = int(mask.sum())
-                if n_all == 0:
-                    continue
-                x = vals[mask & vvalid]
+            # Group-slicing strategy (ADVICE r12): the old boolean mask per
+            # dictionary code was O(groups x rows) — pathological for
+            # high-cardinality keys inside the size gate (200k keys -> 4e10
+            # compares). Above a small key count, ONE stable argsort +
+            # segment slicing keeps the pass O(rows log rows); at the
+            # bench's 3-6 keys the mask loop's few linear passes stay
+            # cheaper than a full sort, so it is kept below the threshold.
+            # Both forms yield ELEMENT-WISE identical per-group arrays
+            # (stable sort preserves original row order within a segment,
+            # exactly as the boolean mask did), so the float stats are
+            # bit-equal either way — pinned by
+            # test_grouped_stats_numpy_path_high_cardinality_and_null_keys.
+            if len(keys) <= 32:
+                segments = []
+                for code in [-1] + list(range(len(keys))):
+                    if code in nan_codes:
+                        continue
+                    idx = np.flatnonzero(codes == code)
+                    if idx.size:
+                        segments.append((code, idx))
+            else:
+                order = np.argsort(codes, kind="stable")
+                sc = codes[order]
+                starts = (
+                    np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+                    if sc.size
+                    else np.array([], dtype=np.int64)
+                )
+                seg_bounds = list(starts) + [sc.size]
+                segments = [
+                    (int(sc[seg_bounds[si]]), order[seg_bounds[si]:seg_bounds[si + 1]])
+                    for si in range(len(seg_bounds) - 1)
+                ]
+            for code, idx in segments:
+                n_all = idx.size
+                x = vals[idx][vvalid[idx]]
                 x = x[~np.isnan(x)]
                 n = x.size
                 out_keys.append(None if code == -1 else keys[code])

@@ -167,21 +167,22 @@ def decontaminate(
         # grams themselves. With an index generator the inferred filter only
         # wraps sequence(), and each gram is built once per output row from
         # the bound token column.
+        # SQL-text build path (OPTIMIZATION r13): the explode/digest steps
+        # parse as strings — identical trees (int literals, xxhash64's 42
+        # seed and array_join all parse to what the Column ops built;
+        # physical plan identical, plans/r13 dumps). ws_tokens stays a
+        # Column so the WS_RE regex literal is never re-escaped by hand.
         tokd = df.select(
             F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
         ).filter(F.size("__toks") >= n)
-        idx = tokd.select(
-            id_col,
+        idx = tokd.selectExpr(
+            f"`{id_col}`",
             "__toks",
-            F.explode(
-                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1))
-            ).alias("__i"),
+            f"explode(sequence(1, size(__toks) - {int(n) - 1})) AS __i",
         )
-        return idx.select(
-            id_col,
-            F.xxhash64(F.array_join(F.slice("__toks", F.col("__i"), n), " ")).alias(
-                "__digest"
-            ),
+        return idx.selectExpr(
+            f"`{id_col}`",
+            f"xxhash64(array_join(slice(__toks, __i, {int(n)}), ' ')) AS __digest",
         )
 
     eval_grams = gram_digests(eval_docs).select("__digest").distinct()
@@ -233,11 +234,21 @@ def minhash_signatures(
     """
     import random
 
-    # The UDF object is memoized per parameter tuple (OPTIMIZATION r12):
-    # pandas_udf() registration costs ~40 ms of py4j per call and the
-    # closure (seeded a/b permutation arrays + shingle_k) is a pure
-    # function of these arguments — same UDF object, same execution.
-    cache_key = (num_hashes, shingle_k, seed)
+    # The UDF object is memoized per (applicationId, parameter tuple)
+    # (OPTIMIZATION r12, ADVICE r12): pandas_udf() registration costs
+    # ~40 ms of py4j per call and the closure (seeded a/b permutation
+    # arrays + shingle_k) is a pure function of the arguments — same UDF
+    # object, same execution. The applicationId key matters because a
+    # UserDefinedFunction lazily pins its JVM-side _judf to the session
+    # active at first use: reusing the object across spark.stop()/new
+    # session would hand out dead JVM references (the same staleness
+    # contract as _PARTITION_COUNT_CACHE and the reader relation cache).
+    cache_key = (
+        documents.sparkSession.sparkContext.applicationId,
+        num_hashes,
+        shingle_k,
+        seed,
+    )
     cached_udf = _SIG_UDF_CACHE.get(cache_key)
     if cached_udf is not None:
         nonempty = documents.filter(F.size(ws_tokens(F.col(text_col))) > 0)
@@ -295,7 +306,8 @@ def minhash_signatures(
     )
 
 
-#: memoized signature UDF objects per (num_hashes, shingle_k, seed) — pure
+#: memoized signature UDF objects per (applicationId, num_hashes,
+#: shingle_k, seed) — pure
 #: code-object reuse, no data cached (see minhash_signatures).
 _SIG_UDF_CACHE: dict = {}
 

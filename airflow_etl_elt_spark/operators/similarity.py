@@ -73,6 +73,11 @@ def _norm(a):
     )
 
 
+#: memoized cosine-score UDF objects per (applicationId, query vector) —
+#: pure code-object reuse, no data cached (see cosine_topk's blas path).
+_COS_UDF_CACHE: dict = {}
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -117,17 +122,29 @@ def cosine_topk(
     if impl == "auto":
         impl = "jvm" if est >= 16 * 1024 * 1024 else "blas"
     if impl == "blas":
-        qv = np.asarray(query_vec, dtype=np.float64)
-        qn = float(np.linalg.norm(qv)) or 1.0
+        # UDF object memoized per (applicationId, query vector)
+        # (OPTIMIZATION r13): pandas_udf() registration costs ~40 ms of
+        # py4j per call and the closure is a pure function of query_vec.
+        # applicationId key per ADVICE r12 (_judf pins to the session).
+        cache_key = (
+            embeddings.sparkSession.sparkContext.applicationId,
+            tuple(float(v) for v in query_vec),
+        )
+        cos_udf = _COS_UDF_CACHE.get(cache_key)
+        if cos_udf is None:
+            qv = np.asarray(query_vec, dtype=np.float64)
+            qn = float(np.linalg.norm(qv)) or 1.0
 
-        @F.pandas_udf("double")
-        def cos_udf(vecs: pd.Series) -> pd.Series:
-            if not len(vecs):
-                return pd.Series([], dtype="float64")
-            V = np.stack(vecs.to_numpy()).astype(np.float64)
-            n = np.linalg.norm(V, axis=1)
-            n[n == 0] = 1.0
-            return pd.Series((V @ qv) / (n * qn))
+            @F.pandas_udf("double")
+            def cos_udf(vecs: pd.Series) -> pd.Series:
+                if not len(vecs):
+                    return pd.Series([], dtype="float64")
+                V = np.stack(vecs.to_numpy()).astype(np.float64)
+                n = np.linalg.norm(V, axis=1)
+                n[n == 0] = 1.0
+                return pd.Series((V @ qv) / (n * qn))
+
+            _COS_UDF_CACHE[cache_key] = cos_udf
 
         cos = cos_udf(F.col(vec_col))
     else:

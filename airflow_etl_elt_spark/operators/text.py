@@ -216,6 +216,24 @@ def _marker_hits_arrow():
     return pandas_udf(fn, f"struct<{out_type}>")
 
 
+#: memoized marker-hits UDF objects per applicationId (OPTIMIZATION r13):
+#: pandas_udf() registration costs ~40 ms of py4j per call and the closure
+#: is a pure function of the module-level LANG_MARKERS — same UDF object,
+#: same execution. Keyed by applicationId (not process-global) because a
+#: UserDefinedFunction pins its JVM-side _judf to the session active at
+#: first use (ADVICE r12 on _SIG_UDF_CACHE).
+_MARKER_HITS_UDF_CACHE: dict = {}
+
+
+def _marker_hits_udf(spark) -> "F.Column":
+    key = spark.sparkContext.applicationId
+    udf = _MARKER_HITS_UDF_CACHE.get(key)
+    if udf is None:
+        udf = _marker_hits_arrow()
+        _MARKER_HITS_UDF_CACHE[key] = udf
+    return udf
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Marker-word language-ID heuristic: per-language hit counts → argmax.
 
@@ -230,41 +248,41 @@ def lang_id(documents: DataFrame) -> DataFrame:
     alternations, identical counts to the r1-r5 codegen formulation
     (parity-tested).
     """
-    hits = _marker_hits_arrow()
+    # UDF object memoized per application (OPTIMIZATION r13): registration
+    # was ~40 ms of py4j per fresh build — see _MARKER_HITS_UDF_CACHE.
+    hits = _marker_hits_udf(documents.sparkSession)
     # The labeled `lang` column exists on the canonical documents table; for
     # unlabeled corpora (e.g. clean_corpus over arbitrary text) carry null.
     labeled = (
-        F.col("lang") if "lang" in documents.columns else F.lit(None).cast("string")
+        "lang" if "lang" in documents.columns else "CAST(NULL AS STRING) AS lang"
     )
-    scored = documents.withColumn("__h", hits(F.col("text"))).select(
+    # SQL-text build path below (OPTIMIZATION r13): the struct-argmax and
+    # hit projections parse as strings instead of ~100 nested py4j Column
+    # calls — named_struct/CASE parse to the identical trees as
+    # F.struct/F.when (physical plan identical, plans/r13 dumps).
+    scored = documents.withColumn("__h", hits(F.col("text"))).selectExpr(
         "doc_id",
-        labeled.alias("lang"),
-        *[
-            F.col("__h")[lang].cast("int").alias(f"hits_{lang}")
-            for lang in LANG_MARKERS
-        ],
+        labeled,
+        *[f"CAST(__h.{lang} AS INT) AS hits_{lang}" for lang in LANG_MARKERS],
     )
     # argmax via greatest-of-structs: (count, neg-ordinal) so ties prefer
     # earlier language in LANG_MARKERS order.
     langs = list(LANG_MARKERS)
-    struct_cols = [
-        F.struct(F.col(f"hits_{lang}").alias("c"), F.lit(-i).alias("o"), F.lit(lang).alias("l"))
+    best = "greatest(" + ", ".join(
+        f"named_struct('c', hits_{lang}, 'o', {-i}, 'l', '{lang}')"
         for i, lang in enumerate(langs)
-    ]
-    best = F.greatest(*struct_cols)
+    ) + ")"
     # NULL text -> NULL prediction (all hit counts are null exactly then);
     # without the guard the struct-argmax tie-break would "predict" the
     # first language for null documents while the SQL CASE chain falls
     # through to the last — an engine-divergent answer to a meaningless
     # question (adversarial-fixture finding, r5)
-    null_text = F.col(f"hits_{langs[0]}").isNull()
-    return scored.select(
+    return scored.selectExpr(
         "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        F.when(null_text, F.lit(None).cast("string"))
-        .otherwise(best["l"])
-        .alias("predicted_lang"),
-        best["c"].cast("bigint").alias("marker_hits"),
+        "lang AS labeled_lang",
+        f"CASE WHEN hits_{langs[0]} IS NULL THEN CAST(NULL AS STRING) "
+        f"ELSE {best}.l END AS predicted_lang",
+        f"CAST({best}.c AS BIGINT) AS marker_hits",
     )
 
 
@@ -375,29 +393,34 @@ def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
     """
     text = F.coalesce(F.col("text"), F.lit(""))
     toks = documents.select("doc_id", ws_tokens(text).alias("__t"))
+    # SQL-text build path (OPTIMIZATION r13): the gram-hash transform and
+    # ratio projections parse as strings instead of ~370 nested py4j Column
+    # calls — identical trees (the SQL lambda vars keep the SAME names the
+    # Python lambdas bound; 0.0D is the double literal F.lit(0.0) built;
+    # physical plan identical, plans/r13 dumps). ws_tokens stays a Column
+    # so the WS_RE regex literal is never re-escaped by hand.
     # same short-text guard as _ngrams_of: sequence() DESCENDS for
     # start > stop, so fewer than n tokens must yield the empty index list
-    idx = F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1))
-    hashed = F.transform(
-        idx,
-        lambda i: F.xxhash64(*[F.element_at(F.col("__t"), i + j) for j in range(n)]),
+    els = ", ".join(f"element_at(__t, i + {j})" for j in range(int(n)))
+    hashed = (
+        f"transform(sequence(1, size(__t) - {int(n) - 1}), "
+        f"i -> xxhash64({els}))"
     )
-    grams = toks.withColumn(
-        "__g",
-        F.when(F.size("__t") < n, F.array().cast("array<bigint>")).otherwise(
-            hashed
-        ),
-    )
-    out = grams.select(
+    grams = toks.selectExpr(
         "doc_id",
-        F.size("__g").cast("bigint").alias("n_grams"),
-        F.size(F.array_distinct("__g")).cast("bigint").alias("n_distinct"),
+        "__t",
+        f"CASE WHEN size(__t) < {int(n)} THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE {hashed} END AS __g",
     )
-    return out.withColumn(
-        "dup_ratio",
-        F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
-            (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams")
-        ),
+    out = grams.selectExpr(
+        "doc_id",
+        "CAST(size(__g) AS BIGINT) AS n_grams",
+        "CAST(size(array_distinct(__g)) AS BIGINT) AS n_distinct",
+    )
+    return out.selectExpr(
+        "*",
+        "CASE WHEN n_grams = 0 THEN 0.0D "
+        "ELSE (n_grams - n_distinct) / n_grams END AS dup_ratio",
     )
 
 
@@ -470,16 +493,21 @@ def rolling_fingerprint(documents: DataFrame) -> DataFrame:
     # coalesce: a NULL document fingerprints as the seed 0 (same as empty)
     # on both engines, instead of a NULL that depends on null-propagation
     tokens = ws_tokens(ascii_lower(F.coalesce(F.col("text"), F.lit(""))))
-    token_hashes = F.transform(
-        tokens,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % p,
+    # SQL-text build path (OPTIMIZATION r13): the hash transform + rolling
+    # fold parse as one string instead of ~160 nested py4j Column calls —
+    # identical trees (SQL lambda vars keep the Python lambdas' names;
+    # physical plan identical, plans/r13 dumps). ws_tokens stays a Column
+    # for the regex literal; the optimizer collapses the two projections.
+    fp_sql = (
+        "aggregate("
+        f"transform(__tk, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) "
+        f"AS BIGINT) % {p}), "
+        "CAST(0 AS BIGINT), "
+        f"(acc, h) -> (acc * 31 + h) % {p}) AS fp"
     )
-    fp = F.aggregate(
-        token_hashes,
-        F.lit(0).cast("bigint"),
-        lambda acc, h: (acc * 31 + h) % p,
+    return documents.select("doc_id", tokens.alias("__tk")).selectExpr(
+        "doc_id", fp_sql
     )
-    return documents.select("doc_id", fp.alias("fp"))
 
 
 def fingerprint(documents: DataFrame) -> DataFrame:

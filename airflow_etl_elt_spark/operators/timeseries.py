@@ -135,33 +135,31 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     Returns one row per session: user_id, session_id (1-based per user),
     session_start, session_end, n_events.
     """
-    from pyspark.sql import Window
-
     events = events.select("user_id", "event_id", "ts")
-    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # microsecond-exact gap (SURVEY.md §7 hazard family: second-truncated
-    # casts diverge from the oracle on fractional-second boundaries)
-    gap_us = gap_minutes * 60 * 1_000_000
-    with_flag = events.withColumn(
-        "new_session",
-        (
-            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w_order)
-            > gap_us
-        )
-        .cast("int")
-        .alias("new_session"),
-    ).withColumn("new_session", F.coalesce(F.col("new_session"), F.lit(1)))
-    with_id = with_flag.withColumn(
-        "session_id", F.sum("new_session").over(w_run).cast("bigint")
+    # casts diverge from the oracle on fractional-second boundaries).
+    # SQL-text build path (OPTIMIZATION r13): the two window projections
+    # and the session agg parse as strings instead of ~190 nested py4j
+    # Column calls — identical Catalyst trees (the optimizer collapsed the
+    # old two withColumn("new_session", ...) steps into this one CASE-free
+    # coalesce projection anyway — physical plan identical,
+    # plans/r13 before/after dumps; results re-proved on the oracle).
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w_order = "PARTITION BY user_id ORDER BY ts, event_id"
+    with_flag = events.selectExpr(
+        "*",
+        "coalesce(CAST((unix_micros(ts) - lag(unix_micros(ts)) OVER "
+        f"({w_order})) > {gap_us} AS INT), 1) AS new_session",
     )
-    return (
-        with_id.groupBy("user_id", "session_id")
-        .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    with_id = with_flag.selectExpr(
+        "*",
+        f"CAST(sum(new_session) OVER ({w_order} ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id",
+    )
+    return with_id.groupBy("user_id", "session_id").agg(
+        F.expr("min(ts) AS session_start"),
+        F.expr("max(ts) AS session_end"),
+        F.expr("count(1) AS n_events"),
     )
 
 

@@ -48,12 +48,16 @@ def top_k_per_group(
     from airflow_etl_elt_spark.operators.relational import fuse_small_input
 
     fused = fuse_small_input(df)
-    w = Window.partitionBy(group_col).orderBy(
-        F.col(order_col).desc(), F.col(tiebreak_col)
-    )
-    ranked = fused.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
-        F.col("rn") <= k
-    )
+    # SQL-text build path (OPTIMIZATION r13, same contract as
+    # _two_tier_dec_agg_sql): the window + rank expression is one parsed
+    # string instead of ~60 nested py4j Column calls — parses to the
+    # identical physical plan (plans/r13 before/after dumps;
+    # F.desc == SQL DESC NULLS LAST).
+    ranked = fused.selectExpr(
+        "*",
+        f"CAST(row_number() OVER (PARTITION BY `{group_col}` ORDER BY "
+        f"`{order_col}` DESC, `{tiebreak_col}`) AS BIGINT) AS rn",
+    ).filter(f"rn <= {int(k)}")
     if fused is df:
         return ranked.orderBy(group_col, "rn")
     return ranked.sortWithinPartitions(group_col, "rn")
@@ -168,16 +172,20 @@ def ranking_suite(
         if composed and total_rows is not None:
             composed = total_rows / max(n_groups, 1) >= RANK_COMPOSE_ROWS_PER_GROUP
     if not composed:
-        w = Window.partitionBy(group_col).orderBy(
-            F.desc(order_col), F.col(tiebreak_col)
+        # SQL-text build path (OPTIMIZATION r13): one parsed string per
+        # output instead of nested Column ops — identical physical plan
+        # (F.desc == DESC NULLS LAST; plans/r13 before/after dumps).
+        w = (
+            f"PARTITION BY `{group_col}` ORDER BY `{order_col}` DESC, "
+            f"`{tiebreak_col}`"
         )
-        return fuse_small_input(src).select(
-            tiebreak_col,
-            group_col,
-            F.dense_rank().over(w).cast("bigint").alias("drank"),
-            F.percent_rank().over(w).alias("prank"),
-            F.ntile(ntile_n).over(w).cast("bigint").alias("quartile"),
-            F.cume_dist().over(w).alias("cdist"),
+        return fuse_small_input(src).selectExpr(
+            f"`{tiebreak_col}`",
+            f"`{group_col}`",
+            f"CAST(dense_rank() OVER ({w}) AS BIGINT) AS drank",
+            f"percent_rank() OVER ({w}) AS prank",
+            f"CAST(ntile({int(ntile_n)}) OVER ({w}) AS BIGINT) AS quartile",
+            f"cume_dist() OVER ({w}) AS cdist",
         )
 
     n_buckets = max(par, 2)

@@ -20,6 +20,16 @@ Two Spark modes, reported separately and never mixed:
   unchanged-lineage shuffle-stage reuse legitimately skips completed map
   stages on immutable data. Much faster, but not operator cost.
 
+Memo contract of fresh mode (VERDICT r12 what's-wrong #3, documented by
+choice): fresh samples rebuild and re-execute every PLAN, but session-lived
+METADATA memos (the reader relation cache, partition-count and plan-size
+probes, q5's ≤30-row dim-key lookup, the signature-UDF object) stay warm
+across samples — i.e. fresh mode measures fresh builds against a warm
+catalog, exactly as DuckDB's re-planned samples hit its warmed catalog and
+buffer pool. Query RESULTS are never memoized; every sample computes from
+the parquet inputs (SPARK_GRAFT_PLAN_CACHE=0 below disables the prepared-
+plan cache for the whole fresh block).
+
 Distribution alongside the total (r8): ``ratio_median_per_query`` (the
 median of the per-query ratios) and ``ratio_vs_duckdb_excl_fetch_dominated``
 (the total with full-input-cardinality result sets excluded) are emitted so
@@ -428,6 +438,12 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Effective core contract, echoed so the driver's scaling runs can
+        # verify $SPARK_GRAFT_CPUS was honored (VERDICT r12 next-step 2):
+        # `cpus` is the session's actual defaultParallelism (what local[N]
+        # granted), `master` the resolved master URL.
+        "cpus": cpus,
+        "master": spark.sparkContext.master,
         "layout": layout_name,
         "spark_job_floor_sec": round(floor, 4),
         "duckdb_total": duck_total,

@@ -203,6 +203,76 @@ def test_grouped_stats_regimes_agree_on_decimal(spark):
             assert abs(float(vb) - float(vn)) < 1e-9
 
 
+def test_grouped_stats_numpy_path_high_cardinality_and_null_keys(spark):
+    """r13 (ADVICE r12): the Arrow small-regime pass now groups via ONE
+    stable argsort instead of a boolean mask per dictionary code (the mask
+    loop was O(groups x rows)). Pin the semantics the rewrite must keep:
+    high-cardinality keys inside the size gate, null AND NaN group keys
+    folding into one None group, null values counted by cnt but excluded
+    from stats — agreeing with the distributed bracketed path."""
+    import math
+    import os
+
+    from airflow_etl_elt_spark.operators import relational
+    from airflow_etl_elt_spark.operators.aggregates import grouped_stats
+
+    # 2k rows x ~1k distinct double keys (the pathological shape for the
+    # old mask loop), plus a null-key row, a NaN-key row, and a null value.
+    rows = [(float(i % 997), float(i)) for i in range(2000)]
+    rows += [(None, 5.0), (float("nan"), 7.0), (1.0, None)]
+    df = spark.createDataFrame(rows, "g double, v double")
+    old_env = os.environ.get("SPARK_GRAFT_PLAN_CACHE")
+    old_bytes = relational.SINGLE_TASK_BYTES
+    try:
+        os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"  # fresh mode
+        # createDataFrame inputs carry no Catalyst size stats (the plan
+        # estimate is the Long.MaxValue sentinel), so force each regime
+        # explicitly: gate above the sentinel -> numpy path, 0 -> bracketed
+        relational.SINGLE_TASK_BYTES = 1 << 64
+        numpy_rows = grouped_stats(df, "g", "v").collect()
+        relational.SINGLE_TASK_BYTES = 0  # force the distributed path
+        bracketed_rows = grouped_stats(df, "g", "v").collect()
+    finally:
+        relational.SINGLE_TASK_BYTES = old_bytes
+        if old_env is None:
+            os.environ.pop("SPARK_GRAFT_PLAN_CACHE", None)
+        else:
+            os.environ["SPARK_GRAFT_PLAN_CACHE"] = old_env
+
+    def canon(rs):
+        out = {}
+        for r in rs:
+            key = "NULL" if r[0] is None or (
+                isinstance(r[0], float) and math.isnan(r[0])
+            ) else r[0]
+            out[key] = tuple(
+                None if x is None else round(float(x), 9) for x in r[1:]
+            )
+        return out
+
+    nrows, brows = canon(numpy_rows), canon(bracketed_rows)
+    # the bracketed path drops NULL group keys at the median join but keeps
+    # them in the base stats; compare the shared non-null keys exactly and
+    # check the numpy path's None group stands alone with the right counts
+    assert set(nrows) >= set(k for k in brows if k != "NULL")
+    for k in brows:
+        if k == "NULL":
+            continue
+        for vn, vb in zip(nrows[k], brows[k]):
+            if vn is None or vb is None:
+                assert vn == vb, (k, nrows[k], brows[k])
+            else:
+                assert abs(vn - vb) < 1e-9, (k, nrows[k], brows[k])
+    # None group: rows (None, 5.0) and (nan, 7.0) fold together
+    null_stats = nrows["NULL"]
+    assert null_stats[5] == 2  # cnt includes both rows
+    assert null_stats[0] == 6.0  # mean of {5.0, 7.0}
+    # key 1.0 carries a null value: cnt counts it, stats exclude it —
+    # rows are i=1/998/1995 (values 1.0, 998.0, 1995.0) plus the null
+    assert nrows[1.0][5] == 4
+    assert abs(nrows[1.0][0] - (1.0 + 998.0 + 1995.0) / 3) < 1e-9
+
+
 def test_grouped_stats_regime_schemas_identical(spark):
     import os
 
