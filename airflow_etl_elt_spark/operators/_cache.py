@@ -44,7 +44,21 @@ def rotate_persist(
     live = _LIVE.setdefault(tag, [])
     df = df.persist()
     if materialize:
-        df.count()
+        # AQE off for the throwaway materialization count (OPTIMIZATION
+        # r13): adaptive execution submits the plan's internal shuffle map
+        # stage as its OWN job before the result job — two scheduling
+        # round-trips to fill a cache whose plan is fixed and whose count
+        # is discarded. Non-adaptive, the same stages run under ONE job
+        # (measured: dedup_minhash's sig materialization 2 jobs -> 1).
+        # Scope: only this count; the conf is restored before returning,
+        # so consumers of the cached frame plan adaptively as before.
+        conf = df.sparkSession.conf
+        prev = conf.get("spark.sql.adaptive.enabled", "true")
+        try:
+            conf.set("spark.sql.adaptive.enabled", "false")
+            df.count()
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev)
     live.append(df)
     while len(live) > keep:
         prev = live.pop(0)

@@ -526,6 +526,11 @@ def minhash_lsh_pairs(
     # Bucket = (band_id, band_sig). Pair expansion inside each bucket.
     left = banded.select("band_id", "band_sig", F.col("id").alias("id_a"))
     right = banded.select("band_id", "band_sig", F.col("id").alias("id_b"))
+    # NOTE (r12, re-confirmed r13): fusing the pair distinct into the band
+    # join via a narrow coalesce(1) was probed AGAIN this round to kill the
+    # distinct's exchange job — and re-measured pathological (~11 s vs ~2 s
+    # at sf0.1, same single-task serialization the r12 band-fusion probe
+    # hit). The distributed distinct stands in both regimes.
     pairs = (
         left.join(right, ["band_id", "band_sig"])
         .filter(F.col("id_a") < F.col("id_b"))

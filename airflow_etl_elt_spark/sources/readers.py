@@ -95,6 +95,22 @@ def normalize_columns(df: DataFrame) -> DataFrame:
     return df.toDF(*[c.replace(" ", "_") for c in df.columns])
 
 
+#: fan_out's cost gate: below this Catalyst plan-size estimate the fan-out
+#: exchange plus the per-task Python-crossing overhead exceed what the
+#: parallelism buys, so the input is left on its natural layout. Measured
+#: r13 at sf0.1 (ISOLATED noop A/B, 3 samples each): scan+fan_out 0.21 s;
+#: a TRIVIAL pandas_udf over the fanned-out input 0.53-0.68 s vs the full
+#: lang_id WITHOUT fan_out 0.28-0.41 s — the Arrow crossing costs ~10 ms
+#: x 32 tasks while the actual RE2 work is noise at this size (full
+#: lang_id == trivial-UDF cost over the same fan-out). Crossover estimate:
+#: single-threaded text work ~0.04 s/MB vs ~0.3 s fixed fan-out overhead
+#: => ~8 MB of text ~ 4 MB compressed estimate. At production scale inputs
+#: arrive orders of magnitude above this and the gate never engages.
+FAN_OUT_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES", str(4 * 1024 * 1024))
+)
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a narrow input so compute-heavy downstream work
     (regex passes, pandas UDFs, per-row vector math) uses every core.
@@ -105,9 +121,19 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (returns ``df`` unchanged when partitions >= target); on small/skewed
     layouts it costs one tiny shuffle to unlock N-way parallelism — the same
     guard a production pipeline wants against a few-giant-files layout.
+
+    Cost-gated (OPTIMIZATION r13, guide §1.2/§4): inputs whose Catalyst
+    size estimate is under ``FAN_OUT_MIN_BYTES`` stay on their natural
+    layout — see the gate constant for the measured crossover. Per-row
+    operators are order-insensitive, so the gate changes plan shape only,
+    never results.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if _partition_count(df) >= target:
+        return df
+    from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
+
+    if _plan_size_bytes(df) < FAN_OUT_MIN_BYTES:
         return df
     return df.repartition(target)
 
