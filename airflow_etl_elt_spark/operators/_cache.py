@@ -44,21 +44,7 @@ def rotate_persist(
     live = _LIVE.setdefault(tag, [])
     df = df.persist()
     if materialize:
-        # AQE off for the throwaway materialization count (OPTIMIZATION
-        # r13): adaptive execution submits the plan's internal shuffle map
-        # stage as its OWN job before the result job — two scheduling
-        # round-trips to fill a cache whose plan is fixed and whose count
-        # is discarded. Non-adaptive, the same stages run under ONE job
-        # (measured: dedup_minhash's sig materialization 2 jobs -> 1).
-        # Scope: only this count; the conf is restored before returning,
-        # so consumers of the cached frame plan adaptively as before.
-        conf = df.sparkSession.conf
-        prev = conf.get("spark.sql.adaptive.enabled", "true")
-        try:
-            conf.set("spark.sql.adaptive.enabled", "false")
-            df.count()
-        finally:
-            conf.set("spark.sql.adaptive.enabled", prev)
+        no_aqe_count(df)
     live.append(df)
     while len(live) > keep:
         prev = live.pop(0)
@@ -67,3 +53,34 @@ def rotate_persist(
         except Exception:
             pass  # session may be gone; nothing to free
     return df
+
+
+def no_aqe_count(df: DataFrame) -> int:
+    """Run ``df.count()`` with adaptive execution OFF — for driver-side
+    bookkeeping actions (cache materialization, convergence probes) whose
+    plans are fixed: AQE submits each internal shuffle map stage as its
+    OWN job before the result job, paying one scheduling round-trip per
+    stage for re-optimization the action can't use (OPTIMIZATION r13 —
+    measured: dedup_minhash's sig materialization 2 jobs -> 1,
+    grouped_stats' box-prefilter action 4 -> 1). The conf is restored
+    before returning, so the QUERY plans consumers build stay adaptive."""
+    conf = df.sparkSession.conf
+    prev = conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        return df.count()
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def no_aqe_first(df: DataFrame):
+    """``df.first()`` with adaptive execution off — see ``no_aqe_count``."""
+    conf = df.sparkSession.conf
+    prev = conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        return df.first()
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)
+
+

@@ -842,7 +842,12 @@ def _exact_median_from_bounds(
     nlevels = levels_done
     bounds = rotate_persist(f"{tag}:l{nlevels}", bounds, materialize=False)
     if depth is None:
-        worst = bounds.filter(~F.col("__done")).agg(F.max("__inb")).first()[0]
+        from airflow_etl_elt_spark.operators._cache import no_aqe_first
+
+        # non-adaptive driver probe (OPTIMIZATION r13): AQE splits this
+        # fixed one-row convergence aggregate into one job per internal
+        # stage — see _cache.no_aqe_count
+        worst = no_aqe_first(bounds.filter(~F.col("__done")).agg(F.max("__inb")))[0]
         depth = (
             0
             if worst is None or worst <= _SELECT_MAX_ROWS
@@ -906,7 +911,11 @@ def _exact_median_from_bounds(
             box = box.crossJoin(
                 co_materialize.agg(F.count(F.lit(1)).alias("__com_n"))
             )
-        box = box.first()
+        from airflow_etl_elt_spark.operators._cache import no_aqe_first
+
+        # non-adaptive (OPTIMIZATION r13): this fixed bookkeeping action
+        # ran as FOUR AQE stage-jobs at the 100x replica; one suffices
+        box = no_aqe_first(box)
         pre = None
         if box["lo_open"] == 0 and box["glo"] is not None:
             pre = v >= float(box["glo"])
