@@ -1709,7 +1709,13 @@ def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
 def q_rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint per document (north-star text
     analysis) — engine-portable recurrence, exact DuckDB twin."""
-    return text.rolling_fingerprint(fan_out(read_table(spark, sf, "documents")))
+    # min_bytes=0: the per-byte work here is an INTERPRETED HOF fold
+    # (~0.25 s/MB single-threaded, 25x fan_out's default light-work gate
+    # constant) — gating the fan-out off regressed this key 0.16 -> 0.45 s
+    # at sf0.1 (r13 mid-bench), so the call site opts out of the gate.
+    return text.rolling_fingerprint(
+        fan_out(read_table(spark, sf, "documents"), min_bytes=0)
+    )
 
 
 def q_array_agg_statuses(spark: SparkSession, sf: str) -> DataFrame:
@@ -1812,7 +1818,11 @@ def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    media = multimodal.documents_as_media(fan_out(read_table(spark, sf, "documents")))
+    # min_bytes=0: downstream decodes JPEGs in Python (the heaviest
+    # per-row work in the catalog) — always worth every core.
+    media = multimodal.documents_as_media(
+        fan_out(read_table(spark, sf, "documents"), min_bytes=0)
+    )
     return multimodal.extract_media_features(media, with_dims_check=True)
 
 
@@ -2856,24 +2866,72 @@ def q_txn_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 # Dict ORDER matters: the driver correctness-checks the FIRST 50 entries of
 # this dict at sf0.01 (observed every round: CORRECTNESS_r{N} is exactly the
-# first 50 keys in dict order). Round-10 window (VERDICT r9 next-step 6):
-# every key's evidence is r6+ after r9, so the window takes the oldest 50 —
-# the three r6 stragglers (stratified_sample, repetition_score,
-# chunk_documents) lead, then all 47 keys last driver-checked in r07,
-# which include the whole streaming and txn tiers: their only driver rows
-# predate the decimal-determinism grid, so CORRECTNESS_r10 re-proves them
-# on the driver's own harness post-grid.
+# first 50 keys in dict order). Rotation policy since r10: the window leads
+# with the keys whose code was touched most recently (touched-but-unwindowed
+# keys should never happen two rounds running — VERDICT r12 #8), padded with
+# the cohort carrying the oldest driver evidence.
 QUERIES: dict[str, QueryFn] = {
-    # --- r12 driver window (VERDICT r11 next-step 4): after r11 the oldest
-    # driver evidence is the 46 keys whose last driver check was r09 (the
-    # decimal-grid re-proof cohort: TPC-H revenue family, rollup/grouping-
-    # sets, the sampling/text/sketch rows) — the window is those 46 in
-    # CORRECTNESS_r09 order plus the 4 leading r10 keys. CORRECTNESS_r12
-    # re-proves them on the driver's own harness at r12 HEAD (tpch_q10's
-    # per-case FK guard + all-dangling witness, sample_frac's seed-derived
-    # probe slice, and label_pairs_topk's quantized tie-break land inside
-    # this window). Keys past 50 are still re-verified every round by
-    # scripts/sweep_oracle.py on all committed axes. ---
+    # --- r13 driver window (VERDICT r12 next-step 8): lead with THIS
+    # round's touched keys — the minhash/dedup family (AQE-off
+    # materialization + fan_out gate + SQL-text bands + appId-keyed UDF
+    # memo), the fan_out-gated text/corpus keys, the SQL-texted
+    # window/session/q6/knn builders, grouped_stats (argsort Arrow pass +
+    # non-adaptive probes), q5 (uniqueness assert) and surrogate_key
+    # (rotate_persist rides the non-adaptive count) — then the r10-cohort
+    # remainder (streaming/txn tiers + the TPC-H long tail, last
+    # driver-checked in r10). Keys past 50 are still re-verified every
+    # round by scripts/sweep_oracle.py on all committed axes. ---
+    "grouped_stats": q_grouped_stats,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_components": q_dedup_components,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "segment_dedup": q_segment_dedup,
+    "boilerplate_segments": q_boilerplate_segments,
+    "decontaminate": q_decontaminate,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_count_bpe": q_token_count_bpe,
+    "word_entropy": q_word_entropy,
+    "bigram_lm_score": q_bigram_lm_score,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "top_tokens": q_top_tokens,
+    "media_features": q_media_features,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "repetition_score": q_repetition_score,
+    "window_topk": q_window_topk,
+    "window_ranks": q_window_ranks,
+    "sessionize": q_sessionize,
+    "tpch_q6": q_tpch_q6,
+    "knn_cosine": q_knn_cosine,
+    "tpch_q5_local_revenue": q_tpch_q5_local_revenue,
+    "surrogate_key": q_surrogate_key,
+    "stream_dedup_incremental": q_stream_dedup_incremental,
+    "txn_change_feed": q_txn_change_feed,
+    "txn_merge_upsert": q_txn_merge_upsert,
+    "stream_interval_join": q_stream_interval_join,
+    "stream_events_hourly": q_stream_events_hourly,
+    "stream_running_totals": q_stream_running_totals,
+    "stream_dedup": q_stream_dedup,
+    "stream_ewma_final": q_stream_ewma_final,
+    "stream_scd2_closed": q_stream_scd2_closed,
+    "stream_sessionize": q_stream_sessionize,
+    "stream_asof_join": q_stream_asof_join,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
+    # --- past the driver window: checked by the sweep axes each round ---
     "exists_big_order": q_exists_big_order,
     "except_customers": q_except_customers,
     "intersect_customers": q_intersect_customers,
@@ -2889,7 +2947,6 @@ QUERIES: dict[str, QueryFn] = {
     "pii_redact": q_pii_redact,
     "mixture_sample": q_mixture_sample,
     "shuffle_shards": q_shuffle_shards,
-    "sessionize": q_sessionize,
     "range_join": q_range_join,
     "window_range_frame": q_window_range_frame,
     "approx_quantiles": q_approx_quantiles,
@@ -2900,38 +2957,27 @@ QUERIES: dict[str, QueryFn] = {
     "json_extract": q_json_extract,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
-    "tpch_q5_local_revenue": q_tpch_q5_local_revenue,
-    "segment_dedup": q_segment_dedup,
-    "boilerplate_segments": q_boilerplate_segments,
-    "decontaminate": q_decontaminate,
     "source_cap": q_source_cap,
     "salted_revenue_by_segment": q_salted_revenue_by_segment,
     "grouped_quantiles": q_grouped_quantiles,
     "session_stats": q_session_stats,
-    "dedup_simhash": q_dedup_simhash,
-    "ngram_jaccard": q_ngram_jaccard,
     "mode_event_type": q_mode_event_type,
     "price_histogram": q_price_histogram,
     "sample_frac": q_sample_frac,
     "pack_sequences": q_pack_sequences,
-    "media_features": q_media_features,
     "bpe_merges": q_bpe_merges,
     "ann_pq": q_ann_pq,
     "tpch_q15": q_tpch_q15,
     "tpch_q10": q_tpch_q10,
-    "tpch_q6": q_tpch_q6,
     "stratified_sample": q_stratified_sample,
-    "repetition_score": q_repetition_score,
     "chunk_documents": q_chunk_documents,
     "kde_per_group": q_kde_per_group,
-    # --- past the driver window: checked by the sweep axes each round ---
     "ann_ivf": q_ann_ivf,
     "table_scan_project": q_table_scan_project,
     "scan_filter_pushdown": q_scan_filter_pushdown,
     "elt_filter": q_elt_filter,
     "filter_ge_param": q_filter_ge_param,
     "derived_bool_col": q_derived_bool_col,
-    "surrogate_key": q_surrogate_key,
     "feature_projection": q_feature_projection,
     "count_by_group": q_count_by_group,
     "distinct_sorted": q_distinct_sorted,
@@ -2944,30 +2990,20 @@ QUERIES: dict[str, QueryFn] = {
     "union_nation_keys": q_union_nation_keys,
     "string_funcs": q_string_funcs,
     "orders_by_year": q_orders_by_year,
-    "token_count_bpe": q_token_count_bpe,
-    "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "label_pairs_topk": q_label_pairs_topk,
-    "grouped_stats": q_grouped_stats,
     "revenue_by_priority": q_revenue_by_priority,
     "revenue_by_segment": q_revenue_by_segment,
-    "window_topk": q_window_topk,
-    "window_ranks": q_window_ranks,
     "dedup_exact": q_dedup_exact,
-    "knn_cosine": q_knn_cosine,
     "token_count": q_token_count,
-    "lang_id": q_lang_id,
     "asof_join": q_asof_join,
     "rollup_revenue": q_rollup_revenue,
     "csv_scan": q_csv_scan,
-    "rolling_fingerprint": q_rolling_fingerprint,
     "quantiles_price": q_quantiles_price,
     "conditional_agg": q_conditional_agg,
     "date_parts": q_date_parts,
     "max_by_priority": q_max_by_priority,
     "corr_by_flag": q_corr_by_flag,
-    "top_tokens": q_top_tokens,
-    "tfidf_top_terms": q_tfidf_top_terms,
     "left_join_zero_counts": q_left_join_zero_counts,
     "full_outer_join": q_full_outer_join,
     "cube_counts": q_cube_counts,
@@ -2976,51 +3012,22 @@ QUERIES: dict[str, QueryFn] = {
     "null_handling": q_null_handling,
     "array_stats": q_array_stats,
     "approx_distinct_users": q_approx_distinct_users,
-    "dedup_minhash": q_dedup_minhash,
     "ann_lsh": q_ann_lsh,
-    "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q19": q_tpch_q19,
-    "tpch_q22": q_tpch_q22,
     "unpivot_part_measures": q_unpivot_part_measures,
     "sliding_window_hourly": q_sliding_window_hourly,
-    "dedup_minhash_verified": q_dedup_minhash_verified,
     "knn_batch": q_knn_batch,
-    "word_entropy": q_word_entropy,
     "ewma": q_ewma,
     "scd2_user_state": q_scd2_user_state,
     "validate_orders": q_validate_orders,
     "zscore_outliers": q_zscore_outliers,
-    "bigram_lm_score": q_bigram_lm_score,
     "asof_join_tolerance": q_asof_join_tolerance,
     "asof_join_forward": q_asof_join_forward,
     "resample_ffill": q_resample_ffill,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q16": q_tpch_q16,
     "tpch_q20": q_tpch_q20,
     "tpch_q4": q_tpch_q4,
     "tpch_q12": q_tpch_q12,
     "tpch_q21": q_tpch_q21,
     "quality_filtered_sample": q_quality_filtered_sample,
-    "dedup_components": q_dedup_components,
-    "dedup_incremental": q_dedup_incremental,
-    "stream_dedup_incremental": q_stream_dedup_incremental,
-    "txn_change_feed": q_txn_change_feed,
-    "txn_merge_upsert": q_txn_merge_upsert,
-    "stream_interval_join": q_stream_interval_join,
-    "stream_events_hourly": q_stream_events_hourly,
-    "stream_running_totals": q_stream_running_totals,
-    "stream_dedup": q_stream_dedup,
-    "stream_ewma_final": q_stream_ewma_final,
-    "stream_scd2_closed": q_stream_scd2_closed,
-    "stream_sessionize": q_stream_sessionize,
-    "stream_asof_join": q_stream_asof_join,
 }
 
 

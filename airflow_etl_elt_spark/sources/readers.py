@@ -111,7 +111,11 @@ FAN_OUT_MIN_BYTES = int(
 )
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    min_bytes: int | None = None,
+) -> DataFrame:
     """Round-robin repartition a narrow input so compute-heavy downstream work
     (regex passes, pandas UDFs, per-row vector math) uses every core.
 
@@ -126,14 +130,20 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     size estimate is under ``FAN_OUT_MIN_BYTES`` stay on their natural
     layout — see the gate constant for the measured crossover. Per-row
     operators are order-insensitive, so the gate changes plan shape only,
-    never results.
+    never results. The default gate constant assumes LIGHT per-byte work
+    (~0.04 s/MB single-threaded — regex/token passes); call sites whose
+    downstream is far heavier per byte (interpreted HOF folds, Python
+    image decoding) pass their own ``min_bytes`` (0 = always fan out) —
+    rolling_fingerprint measured 0.16 -> 0.45 s at sf0.1 under the default
+    gate before its override.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if _partition_count(df) >= target:
         return df
     from airflow_etl_elt_spark.operators.aggregates import _plan_size_bytes
 
-    if _plan_size_bytes(df) < FAN_OUT_MIN_BYTES:
+    gate = FAN_OUT_MIN_BYTES if min_bytes is None else min_bytes
+    if _plan_size_bytes(df) < gate:
         return df
     return df.repartition(target)
 
